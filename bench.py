@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: batched centroidal-MPC solves/s on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference solves one 555-var CasADi/IPOPT NLP per MPC tick on a
+CPU within a 60 ms budget (16.7 solves/s, BASELINE.md "implied per-solve
+budget"); vs_baseline is our TPU solves/s relative to that.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmw_tpu.cmpc import CentroidalMPCSolver, ergocub_mpc_config
+from cmw_tpu.core import contacts
+from cmw_tpu.core.centroidal import pack_state
+from cmw_tpu.cmpc.formulation import MPCParams
+
+BASELINE_SOLVES_PER_S = 1.0 / 0.06  # reference: one solve per 60 ms MPC tick
+
+
+def make_params(cfg, plan, t0, push):
+    stage = contacts.mpc_stage_params(plan, t0, cfg.T, cfg.dt, cfg.n_slots)
+    N = cfg.N
+    com_ref = jnp.asarray([0.0, 0.0, 0.7]) + 0.08 * cfg.dt * jnp.arange(N)[:, None] * jnp.asarray(
+        [1.0, 0.0, 0.0]
+    )
+    return MPCParams(
+        x0=pack_state(jnp.asarray([0.0, 0.0, 0.7]), jnp.zeros(3), jnp.zeros(3)),
+        com_ref=com_ref,
+        ang_mom_ref=jnp.zeros((N, 3)),
+        stage=stage,
+        ext_force=push,
+        ext_torque=jnp.zeros(3),
+    )
+
+
+def main():
+    cfg = ergocub_mpc_config()
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=8), cfg.dt)
+
+    base = make_params(cfg, plan, 1.02, jnp.zeros(3))
+
+    # NB: under the axon tunnel block_until_ready does not imply completion;
+    # pulling a scalar to the host is the reliable sync.
+    sync = lambda out: float(out.cost.sum())
+
+    # --- single-solve latency (host round-trip included) ----------------------
+    warm = solver.cold_start()
+    single = jax.jit(lambda p, w: solver.solve(p, w))
+    sync(single(base, warm))
+    lat = []
+    for _ in range(30):
+        t = time.perf_counter()
+        sync(single(base, warm))
+        lat.append(time.perf_counter() - t)
+    lat = np.array(lat)
+
+    # --- batched throughput ---------------------------------------------------
+    B = 512
+    pushes = jnp.zeros((B, 3)).at[:, 1].set(jnp.linspace(-1.0, 1.0, B))
+    batched_params = jax.vmap(lambda p: base._replace(ext_force=p))(pushes)
+    warm_b = jax.vmap(lambda _: solver.cold_start())(jnp.arange(B))
+    batched = jax.jit(jax.vmap(solver.solve))
+    sync(batched(batched_params, warm_b))
+    reps = 5
+    t = time.perf_counter()
+    for _ in range(reps):
+        sync(batched(batched_params, warm_b))
+    dt_batch = (time.perf_counter() - t) / reps
+    solves_per_s = B / dt_batch
+
+    result = {
+        "metric": "batched_mpc_solves_per_s",
+        "value": round(float(solves_per_s), 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
+        "extra": {
+            "batch": B,
+            "single_solve_p50_ms": round(float(np.percentile(lat, 50) * 1e3), 3),
+            "single_solve_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 3),
+            "sqp_iters": cfg.sqp_iters,
+            "admm_iters": cfg.admm_iters,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,342 @@
+"""Centroidal-MPC optimal-control formulation (SURVEY.md §2.4).
+
+Decision variables z = [F, P]:
+  F [T, nc, ncor, 3]  world-frame corner forces / mass, piecewise constant
+  P [nc, K, 3]        contact positions for up to K phase slots per contact
+                      (the reference's contact-location decision variables)
+
+Dynamics (mass-normalized, forward-Euler over dt — the reference's OCP
+integrates the same centroidal model over `sampling_time 0.06`,
+centroidal_mpc.ini:3):
+  c+ = c + dt v ;  v+ = v + dt (g + sum m f + f_ext)
+  L+ = L + dt (sum m (p + R c_corner - c) x f + tau_ext)
+
+Cost (weights exactly per centroidal_mpc.ini:17-21):
+  com_weight (10,10,200) CoM tracking; angular_momentum_weight 1e2;
+  contact_position_weight 2e3 on |P - P_nom|; force_rate_of_change_weight
+  (10,10,10) on consecutive force diffs; contact_force_symmetry_weight 100
+  on per-corner deviation from the contact mean force.
+
+Constraints — all LINEAR in z (the only nonconvexity is the L-tracking
+residual, which couples P and F bilinearly through the torque arm):
+  * friction pyramid per corner in the contact-local frame
+    (static_friction_coefficient 0.33, number_of_slices 1,
+    centroidal_mpc.ini:7-8), fz >= 0 and fz <= fz_max
+  * inactive corner forces pinned to zero (activation masks)
+  * contact-location bounding boxes around the nominal footstep, expressed
+    in the contact frame, asymmetric per foot (centroidal_mpc.ini:30-31,
+    41-42); non-adjustable (already-placed) contacts pinned to nominal.
+
+The constraint operator is applied analytically (block-structured einsums —
+never materializing the [m, n] matrix), and A^T diag(rho) A is block-diagonal
+with 3x3 blocks, so the ADMM KKT matrix is H + sigma I + blockdiag — a single
+dense Cholesky per SQP iteration. See qp.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmw_tpu.core.centroidal import GRAVITY, centroidal_dynamics, unpack_state
+from cmw_tpu.core.contacts import MPCStageParams
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static solver configuration (hashable -> usable as a jit static arg)."""
+
+    dt: float = 0.06  # centroidal_mpc.ini:3
+    horizon: float = 1.2  # centroidal_mpc.ini:4
+    n_contacts: int = 2  # centroidal_mpc.ini:6
+    n_corners: int = 4  # centroidal_mpc.ini:24
+    n_slots: int = 4  # max phases per foot overlapping the horizon
+    mu: float = 0.33  # centroidal_mpc.ini:8
+    fz_max: float = 3.0 * GRAVITY  # mass-normalized per-corner cap
+    f_box: float = 6.0 * GRAVITY  # generous world-frame force box
+    # corner offsets in the contact frame [nc, ncor, 3] (centroidal_mpc.ini
+    # [CONTACT_*] corner_k)
+    corners: tuple = (
+        ((0.08, 0.01, 0.0), (0.08, -0.01, 0.0), (-0.08, -0.01, 0.0), (-0.08, 0.01, 0.0)),
+        ((0.08, 0.01, 0.0), (0.08, -0.01, 0.0), (-0.08, -0.01, 0.0), (-0.08, 0.01, 0.0)),
+    )
+    # contact-location bounding boxes, contact frame [nc, 3]
+    bbox_lower: tuple = ((-0.01, -0.00, 0.0), (-0.01, -0.05, 0.0))
+    bbox_upper: tuple = ((0.01, 0.05, 0.0), (0.01, 0.00, 0.0))
+    # cost weights (centroidal_mpc.ini:17-21)
+    com_weight: tuple = (10.0, 10.0, 200.0)
+    contact_position_weight: float = 2e3
+    force_rate_weight: tuple = (10.0, 10.0, 10.0)
+    angular_momentum_weight: float = 1e2
+    force_symmetry_weight: float = 100.0
+    # SQP / ADMM iteration counts (fixed trip counts; the reference's
+    # real-robot mode runs early-terminated SQP with 6 QP iterations,
+    # ergoCubSN000/centroidal_mpc.ini:15)
+    sqp_iters: int = 3
+    admm_iters: int = 40
+    # per-block ADMM penalties, matched to the Hessian scale of the rows they
+    # act on (static stand-in for OSQP's adaptive rho; fixed trip counts)
+    admm_rho: float = 10.0  # force identity + cone rows
+    admm_rho_pos: float = 2e3  # position box rows (~ contact_position_weight)
+    admm_rho_eq: float = 1e4  # pinned (equality) rows
+    admm_sigma: float = 1e-6
+    admm_alpha: float = 1.6
+    levenberg: float = 1e-7
+
+    @property
+    def T(self) -> int:
+        return int(round(self.horizon / self.dt))
+
+    @property
+    def N(self) -> int:
+        return self.T + 1
+
+    @property
+    def n_forces(self) -> int:
+        return self.T * self.n_contacts * self.n_corners * 3
+
+    @property
+    def n_positions(self) -> int:
+        return self.n_contacts * self.n_slots * 3
+
+    @property
+    def n_vars(self) -> int:
+        return self.n_forces + self.n_positions
+
+    @property
+    def n_con(self) -> int:
+        # identity force rows + 5 cone rows per corner + position rows
+        tcc = self.T * self.n_contacts * self.n_corners
+        return tcc * 3 + tcc * 5 + self.n_positions
+
+    def corners_arr(self, dtype=jnp.float32):
+        return jnp.asarray(np.array(self.corners), dtype)
+
+    def cone_matrix(self, dtype=jnp.float32):
+        """D [5,3]: local-frame friction pyramid + fz row."""
+        mu = self.mu
+        return jnp.asarray(
+            np.array(
+                [
+                    [1.0, 0.0, -mu],
+                    [-1.0, 0.0, -mu],
+                    [0.0, 1.0, -mu],
+                    [0.0, -1.0, -mu],
+                    [0.0, 0.0, 1.0],
+                ]
+            ),
+            dtype,
+        )
+
+
+def ergocub_mpc_config(**overrides) -> MPCConfig:
+    """The ergoCubGazeboV1 preset (config/robots/ergoCubGazeboV1/*.ini)."""
+    return MPCConfig(**overrides)
+
+
+class MPCParams(NamedTuple):
+    """Per-solve parameters (the reference NLP's p vector, SURVEY.md §2.4)."""
+
+    x0: jnp.ndarray  # [9] initial (com, vcom, ang_mom)
+    com_ref: jnp.ndarray  # [N, 3]
+    ang_mom_ref: jnp.ndarray  # [N, 3]
+    stage: MPCStageParams
+    ext_force: jnp.ndarray  # [3] external force / mass, world
+    ext_torque: jnp.ndarray  # [3] external torque / mass about CoM
+
+
+# --- decision-vector packing -------------------------------------------------
+
+
+def pack_z(cfg: MPCConfig, forces, positions):
+    return jnp.concatenate([forces.reshape(-1), positions.reshape(-1)])
+
+
+def unpack_z(cfg: MPCConfig, z):
+    nf = cfg.n_forces
+    F = z[:nf].reshape(cfg.T, cfg.n_contacts, cfg.n_corners, 3)
+    P = z[nf:].reshape(cfg.n_contacts, cfg.n_slots, 3)
+    return F, P
+
+
+# --- rollout + residuals -----------------------------------------------------
+
+
+def interval_contact_geometry(cfg: MPCConfig, stage: MPCStageParams, positions):
+    """Per-interval contact pose and world corner positions.
+
+    positions: [nc, K, 3] decision variables. Returns
+      pos_k [T, nc, 3], rot_k [T, nc, 3, 3], corner_k [T, nc, ncor, 3].
+    """
+    pos_k = jnp.einsum("its,isx->tix", stage.slot_onehot, positions)
+    rot_k = jnp.einsum("its,isxy->tixy", stage.slot_onehot, stage.slot_rot)
+    # pad inactive intervals with identity-ish rotation (forces are zero there)
+    corners = cfg.corners_arr(positions.dtype)
+    corner_k = pos_k[:, :, None, :] + jnp.einsum("tiab,ijb->tija", rot_k, corners)
+    return pos_k, rot_k, corner_k
+
+
+def rollout(cfg: MPCConfig, params: MPCParams, forces, positions):
+    """Forward-Euler rollout of the centroidal dynamics. Returns X [N, 9]."""
+    _, _, corner_k = interval_contact_geometry(cfg, params.stage, positions)
+    active_k = params.stage.active.T  # [T, nc]
+
+    def step(x, inp):
+        f_k, c_k, a_k = inp
+        dx = centroidal_dynamics(x, f_k, c_k, a_k, params.ext_force, params.ext_torque)
+        x_next = x + cfg.dt * dx
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, params.x0, (forces, corner_k, active_k))
+    return jnp.concatenate([params.x0[None], xs], axis=0)
+
+
+def residuals(cfg: MPCConfig, params: MPCParams, z):
+    """Stacked weighted residual vector r(z); cost = 1/2 |r|^2."""
+    F, P = unpack_z(cfg, z)
+    X = rollout(cfg, params, F, P)
+    com, _, L = unpack_state(X)
+
+    w_com = jnp.sqrt(jnp.asarray(cfg.com_weight, z.dtype))
+    w_L = jnp.sqrt(jnp.asarray(cfg.angular_momentum_weight, z.dtype))
+    w_pos = jnp.sqrt(jnp.asarray(cfg.contact_position_weight, z.dtype))
+    w_rate = jnp.sqrt(jnp.asarray(cfg.force_rate_weight, z.dtype))
+    w_sym = jnp.sqrt(jnp.asarray(cfg.force_symmetry_weight, z.dtype))
+
+    r_com = (w_com * (com[1:] - params.com_ref[1:])).reshape(-1)
+    r_L = (w_L * (L[1:] - params.ang_mom_ref[1:])).reshape(-1)
+
+    adj = (params.stage.slot_valid * params.stage.slot_adjustable)[..., None]
+    r_pos = (w_pos * adj * (P - params.stage.slot_pos_nom)).reshape(-1)
+
+    r_rate = (w_rate * (F[1:] - F[:-1])).reshape(-1)
+
+    mean_f = jnp.mean(F, axis=2, keepdims=True)
+    act = params.stage.active.T[:, :, None, None]  # [T, nc, 1, 1]
+    r_sym = (w_sym * act * (F - mean_f)).reshape(-1)
+
+    return jnp.concatenate([r_com, r_L, r_pos, r_rate, r_sym])
+
+
+# --- linear constraint operator ---------------------------------------------
+
+
+def constraint_matvec(cfg: MPCConfig, stage: MPCStageParams, z):
+    """A z: [n] -> [m]. Blocks: force identity; friction cone (local frame);
+    contact position in contact frame."""
+    F, P = unpack_z(cfg, z)
+    _, rot_k, _ = interval_contact_geometry(cfg, stage, jnp.zeros_like(P))
+    D = cfg.cone_matrix(z.dtype)
+    # local force: f_loc[t,i,j,a] = sum_c rot_k[t,i,c,a] F[t,i,j,c]
+    f_loc = jnp.einsum("tica,tijc->tija", rot_k, F)
+    cone = jnp.einsum("da,tija->tijd", D, f_loc)
+    p_loc = jnp.einsum("isba,isb->isa", stage.slot_rot, P)
+    return jnp.concatenate([F.reshape(-1), cone.reshape(-1), p_loc.reshape(-1)])
+
+
+def constraint_rmatvec(cfg: MPCConfig, stage: MPCStageParams, y):
+    """A^T y: [m] -> [n]."""
+    tcc3 = cfg.n_forces
+    tcc5 = cfg.T * cfg.n_contacts * cfg.n_corners * 5
+    y1 = y[:tcc3].reshape(cfg.T, cfg.n_contacts, cfg.n_corners, 3)
+    y2 = y[tcc3 : tcc3 + tcc5].reshape(cfg.T, cfg.n_contacts, cfg.n_corners, 5)
+    y3 = y[tcc3 + tcc5 :].reshape(cfg.n_contacts, cfg.n_slots, 3)
+    _, rot_k, _ = interval_contact_geometry(
+        cfg, stage, jnp.zeros((cfg.n_contacts, cfg.n_slots, 3), y.dtype)
+    )
+    D = cfg.cone_matrix(y.dtype)
+    gF = y1 + jnp.einsum("tijd,da,tica->tijc", y2, D, rot_k)
+    gP = jnp.einsum("isa,isba->isb", y3, stage.slot_rot)
+    return jnp.concatenate([gF.reshape(-1), gP.reshape(-1)])
+
+
+def constraint_bounds(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32):
+    """(l, u, rho_vec) for the three constraint blocks."""
+    T, nc, ncor, K = cfg.T, cfg.n_contacts, cfg.n_corners, cfg.n_slots
+    act = stage.active.T[:, :, None, None]  # [T,nc,1,1]
+
+    # block 1: force identity — active: generous box; inactive: pinned to 0
+    big = jnp.asarray(cfg.f_box, dtype)
+    l1 = jnp.where(act > 0, -big, 0.0) * jnp.ones((T, nc, ncor, 3), dtype)
+    u1 = jnp.where(act > 0, big, 0.0) * jnp.ones((T, nc, ncor, 3), dtype)
+    rho1 = jnp.where(act > 0, cfg.admm_rho, cfg.admm_rho_eq) * jnp.ones(
+        (T, nc, ncor, 3), dtype
+    )
+
+    # block 2: cone rows — constant (satisfied with equality at f = 0)
+    inf = jnp.asarray(1e20, dtype)
+    l2 = jnp.broadcast_to(
+        jnp.asarray([-1e20, -1e20, -1e20, -1e20, 0.0], dtype), (T, nc, ncor, 5)
+    )
+    u2 = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 0.0, cfg.fz_max], dtype), (T, nc, ncor, 5)
+    )
+    rho2 = jnp.full((T, nc, ncor, 5), cfg.admm_rho, dtype)
+
+    # block 3: position boxes in the contact frame around nominal
+    p_nom_loc = jnp.einsum("isba,isb->isa", stage.slot_rot, stage.slot_pos_nom)
+    bl = jnp.asarray(np.array(cfg.bbox_lower), dtype)[:, None, :]
+    bu = jnp.asarray(np.array(cfg.bbox_upper), dtype)[:, None, :]
+    adj = (stage.slot_valid * stage.slot_adjustable)[..., None]
+    l3 = p_nom_loc + jnp.where(adj > 0, bl, 0.0)
+    u3 = p_nom_loc + jnp.where(adj > 0, bu, 0.0)
+    rho3 = jnp.where(adj > 0, cfg.admm_rho_pos, cfg.admm_rho_eq) * jnp.ones(
+        (nc, K, 3), dtype
+    )
+
+    l = jnp.concatenate([l1.reshape(-1), l2.reshape(-1), l3.reshape(-1)])
+    u = jnp.concatenate([u1.reshape(-1), u2.reshape(-1), u3.reshape(-1)])
+    rho = jnp.concatenate([rho1.reshape(-1), rho2.reshape(-1), rho3.reshape(-1)])
+    return l, u, rho
+
+
+def ata_blockdiag(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32):
+    """A^T diag(rho) A as a dense [n, n] matrix.
+
+    Exploits the structure: identity block -> diag(rho1); cone block ->
+    rho2 * R (D^T D) R^T per corner (3x3); position block -> rho3-weighted
+    R R^T = rho3 I per slot. Only 3x3 blocks on the block diagonal.
+    """
+    T, nc, ncor, K = cfg.T, cfg.n_contacts, cfg.n_corners, cfg.n_slots
+    tcc3 = cfg.n_forces
+    tcc5 = T * nc * ncor * 5
+    rho1 = rho[:tcc3].reshape(T, nc, ncor, 3)
+    rho2 = rho[tcc3 : tcc3 + tcc5].reshape(T, nc, ncor, 5)
+    rho3 = rho[tcc3 + tcc5 :].reshape(nc, K, 3)
+
+    _, rot_k, _ = interval_contact_geometry(
+        cfg, stage, jnp.zeros((nc, K, 3), dtype)
+    )
+    D = cfg.cone_matrix(dtype)
+    # per-corner cone normal matrix: C = D R^T; block = C^T diag(rho2) C
+    C = jnp.einsum("da,tica->tidc", D, rot_k)  # [T,nc,5,3] (same for corners)
+    blk_cone = jnp.einsum("tijd,tidc,tide->tijce", rho2, C, C)  # [T,nc,ncor,3,3]
+    blk_force = blk_cone + jnp.einsum(
+        "tijc,ce->tijce", rho1, jnp.eye(3, dtype=dtype)
+    )
+    blk_pos = jnp.einsum("isc,ce->isce", rho3, jnp.eye(3, dtype=dtype))
+
+    blocks = jnp.concatenate(
+        [blk_force.reshape(-1, 3, 3), blk_pos.reshape(-1, 3, 3)], axis=0
+    )
+    nblk = blocks.shape[0]
+    n = cfg.n_vars
+    rows = (np.arange(nblk)[:, None, None] * 3 + np.arange(3)[None, :, None]).repeat(3, 2)
+    cols = np.broadcast_to(
+        np.arange(nblk)[:, None, None] * 3 + np.arange(3)[None, None, :], (nblk, 3, 3)
+    )
+    M = jnp.zeros((n, n), dtype).at[rows, cols].set(blocks)
+    return M
+
+
+def nominal_force_guess(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32):
+    """Gravity-supporting initial forces: share GRAVITY among active corners."""
+    act = stage.active.T[:, :, None]  # [T, nc, 1]
+    n_active = jnp.maximum(jnp.sum(act, axis=(1, 2), keepdims=True) * cfg.n_corners, 1.0)
+    fz = GRAVITY * act / n_active  # [T, nc, 1]
+    F = jnp.zeros((cfg.T, cfg.n_contacts, cfg.n_corners, 3), dtype)
+    return F.at[..., 2].set(jnp.broadcast_to(fz, F.shape[:-1]))

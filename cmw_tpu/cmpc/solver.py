@@ -1,0 +1,167 @@
+"""Gauss-Newton SQP driver for the centroidal MPC — fully jitted.
+
+Replaces BLF `ReducedModelControllers::CentroidalMPC::advance()`
+(reference CentroidalMPCBlock.cpp:615; internals per SURVEY.md §3.4):
+  1. pack parameters (state, references, contact masks/nominals, wrench)
+  2. warm start from the previous solution (is_warm_start_enabled,
+     centroidal_mpc.ini:9 — here: time-shifted forces + slot-matched
+     contact positions)
+  3. fixed-trip-count SQP: linearize residuals (jacfwd), Gauss-Newton
+     Hessian, ADMM QP with warm-started duals
+  4. unpack corner forces + adjusted contact positions
+
+Everything is a pure function of (params, warm) -> solution, so batching is
+`jax.vmap(solver.solve)` and pod-scale sweeps shard the batch axis
+(dist/sweep.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cmw_tpu.cmpc import formulation as F
+from cmw_tpu.cmpc.qp import ADMMState, admm_solve, spd_inverse
+
+
+class MPCSolution(NamedTuple):
+    forces: jnp.ndarray  # [T, nc, ncor, 3] world-frame corner forces / mass
+    positions: jnp.ndarray  # [nc, K, 3] adjusted contact positions
+    states: jnp.ndarray  # [N, 9] predicted (com, vcom, ang_mom)
+    z: jnp.ndarray  # [n] raw solution (warm start for the next tick)
+    dual: jnp.ndarray  # [m] ADMM dual (warm start)
+    slack: jnp.ndarray  # [m] ADMM auxiliary (warm start)
+    prim_res: jnp.ndarray  # scalar constraint violation (inf-norm)
+    cost: jnp.ndarray  # scalar 1/2 |r|^2
+
+
+class WarmStart(NamedTuple):
+    z: jnp.ndarray
+    dual: jnp.ndarray
+    slack: jnp.ndarray
+    slot_act: jnp.ndarray  # [nc, K] phase keys of the stored positions
+    valid: jnp.ndarray  # scalar {0.,1.}: 0 -> cold start
+
+
+class CentroidalMPCSolver:
+    """Stateless solver object: holds only the static MPCConfig."""
+
+    def __init__(self, cfg: F.MPCConfig):
+        self.cfg = cfg
+
+    # -- warm start -----------------------------------------------------------
+
+    def cold_start(self, dtype=jnp.float32) -> WarmStart:
+        cfg = self.cfg
+        return WarmStart(
+            z=jnp.zeros((cfg.n_vars,), dtype),
+            dual=jnp.zeros((cfg.n_con,), dtype),
+            slack=jnp.zeros((cfg.n_con,), dtype),
+            slot_act=jnp.full((cfg.n_contacts, cfg.n_slots), -1.0, dtype),
+            valid=jnp.zeros((), dtype),
+        )
+
+    def _initial_z(self, params: F.MPCParams, warm: WarmStart):
+        """Warm-started decision vector.
+
+        Forces: previous solution shifted by one interval (receding horizon).
+        Positions: previous slot value where the slot still refers to the same
+        phase (matched on activation time), nominal otherwise.
+        """
+        cfg = self.cfg
+        stage = params.stage
+        Fz, Pz = F.unpack_z(cfg, warm.z)
+        F_shift = jnp.concatenate([Fz[1:], Fz[-1:]], axis=0)
+        F_nom = F.nominal_force_guess(cfg, stage, warm.z.dtype)
+        F0 = jnp.where(warm.valid > 0, F_shift, F_nom)
+
+        # slot matching on activation times: match[i, s_new, s_old]
+        match = (
+            jnp.abs(stage.slot_act[:, :, None] - warm.slot_act[:, None, :])
+            < 0.5 * cfg.dt
+        ).astype(warm.z.dtype)
+        match = match * stage.slot_valid[:, :, None]
+        has_match = jnp.max(match, axis=-1, keepdims=True)  # [nc, K, 1]
+        P_matched = jnp.einsum("iso,iox->isx", match, Pz)
+        P0 = jnp.where(
+            (warm.valid > 0) * (has_match > 0),
+            P_matched,
+            stage.slot_pos_nom,
+        )
+        return F.pack_z(cfg, F0, P0)
+
+    # -- the solve ------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def solve(self, params: F.MPCParams, warm: WarmStart) -> MPCSolution:
+        cfg = self.cfg
+        z0 = self._initial_z(params, warm)
+        dtype = z0.dtype
+        stage = params.stage
+
+        l, u, rho = F.constraint_bounds(cfg, stage, dtype)
+        ata = F.ata_blockdiag(cfg, stage, rho, dtype)
+        matvec = lambda v: F.constraint_matvec(cfg, stage, v)
+        rmatvec = lambda v: F.constraint_rmatvec(cfg, stage, v)
+
+        res_fn = lambda zz: F.residuals(cfg, params, zz)
+
+        zc0 = jnp.where(warm.valid > 0, warm.slack, jnp.clip(matvec(z0), l, u))
+        y0 = jnp.where(warm.valid > 0, warm.dual, jnp.zeros_like(warm.dual))
+
+        def sqp_iter(carry, _):
+            z, zc, y = carry
+            r = res_fn(z)
+            J = jax.jacfwd(res_fn)(z)
+            g = J.T @ r
+            H = J.T @ J + cfg.levenberg * jnp.eye(cfg.n_vars, dtype=dtype)
+            q = g - H @ z
+            M = H + cfg.admm_sigma * jnp.eye(cfg.n_vars, dtype=dtype) + ata
+            minv = spd_inverse(M)
+            state, prim = admm_solve(
+                minv,
+                q,
+                matvec,
+                rmatvec,
+                l,
+                u,
+                rho,
+                ADMMState(z, zc, y),
+                iters=cfg.admm_iters,
+                sigma=cfg.admm_sigma,
+                alpha=cfg.admm_alpha,
+            )
+            return (state.x, state.zc, state.y), prim
+
+        (z, zc, y), prims = jax.lax.scan(
+            sqp_iter, (z0, zc0, y0), None, length=cfg.sqp_iters
+        )
+
+        forces, positions = F.unpack_z(cfg, z)
+        # clamp: zero out numerically tiny forces on inactive intervals
+        act = stage.active.T[:, :, None, None]
+        forces = forces * act
+        states = F.rollout(cfg, params, forces, positions)
+        r = res_fn(z)
+        return MPCSolution(
+            forces=forces,
+            positions=positions,
+            states=states,
+            z=z,
+            dual=y,
+            slack=zc,
+            prim_res=prims[-1],
+            cost=0.5 * jnp.sum(r * r),
+        )
+
+    def warm_from(self, params: F.MPCParams, sol: MPCSolution) -> WarmStart:
+        return WarmStart(
+            z=sol.z,
+            dual=sol.dual,
+            slack=sol.slack,
+            slot_act=params.stage.slot_act,
+            valid=jnp.ones((), sol.z.dtype),
+        )

@@ -1,0 +1,189 @@
+"""Tests for the centroidal MPC SQP solver (BASELINE configs 1-2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmw_tpu.cmpc import CentroidalMPCSolver, MPCParams, ergocub_mpc_config
+from cmw_tpu.cmpc import formulation as F
+from cmw_tpu.core import contacts
+from cmw_tpu.core.centroidal import GRAVITY, pack_state
+
+
+def standing_plan():
+    """Both feet in contact forever at +-0.08 m."""
+    plan = contacts.empty_plan(nc=2, P=8)
+    act = plan.act.at[:, 0].set(0.0)
+    deact = plan.deact.at[:, 0].set(1e6)
+    pos = plan.pos.at[0, 0].set(jnp.asarray([0.0, 0.08, 0.0]))
+    pos = pos.at[1, 0].set(jnp.asarray([0.0, -0.08, 0.0]))
+    valid = plan.valid.at[:, 0].set(1.0)
+    return plan._replace(act=act, deact=deact, pos=pos, valid=valid)
+
+
+def make_params(cfg, plan, t0, com0, com_ref_xy_drift=0.0, ext_force=None):
+    stage = contacts.mpc_stage_params(plan, t0, cfg.T, cfg.dt, cfg.n_slots)
+    N = cfg.N
+    com_ref = jnp.broadcast_to(jnp.asarray(com0), (N, 3))
+    if com_ref_xy_drift:
+        drift = com_ref_xy_drift * cfg.dt * jnp.arange(N)[:, None]
+        com_ref = com_ref + jnp.concatenate([drift, jnp.zeros((N, 2))], axis=1)
+    return MPCParams(
+        x0=pack_state(jnp.asarray(com0), jnp.zeros(3), jnp.zeros(3)),
+        com_ref=com_ref,
+        ang_mom_ref=jnp.zeros((N, 3)),
+        stage=stage,
+        ext_force=jnp.zeros(3) if ext_force is None else jnp.asarray(ext_force),
+        ext_torque=jnp.zeros(3),
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ergocub_mpc_config()
+
+
+def test_standing_equilibrium(cfg):
+    solver = CentroidalMPCSolver(cfg)
+    params = make_params(cfg, standing_plan(), 0.0, [0.0, 0.0, 0.7])
+    sol = solver.solve(params, solver.cold_start())
+    # predicted CoM stays near the reference over the whole horizon
+    com = np.asarray(sol.states[:, 0:3])
+    assert np.abs(com[:, 2] - 0.7).max() < 5e-3, com[:, 2]
+    assert np.abs(com[:, 0:2]).max() < 5e-3
+    # total vertical force ~ gravity on every interval
+    fz = np.asarray(sol.forces[..., 2]).sum(axis=(1, 2))
+    np.testing.assert_allclose(fz, GRAVITY, rtol=0.05)
+    # constraints satisfied
+    assert float(sol.prim_res) < 1e-3
+    # friction cone: |fx|,|fy| <= mu fz + tol
+    f = np.asarray(sol.forces)
+    assert (np.abs(f[..., 0]) <= cfg.mu * f[..., 2] + 1e-3).all()
+    assert (np.abs(f[..., 1]) <= cfg.mu * f[..., 2] + 1e-3).all()
+    assert (f[..., 2] >= -1e-4).all()
+
+
+def test_oracle_parity_standing():
+    """Golden parity vs the independent f64 scipy oracle (SURVEY.md §4):
+    same OCP, disjoint implementations — objective values must agree."""
+    from cmw_tpu.cmpc import oracle
+
+    cfg = ergocub_mpc_config(horizon=0.6, sqp_iters=10, admm_iters=150)  # T=10 keeps SLSQP fast; high iters = parity-at-convergence
+    solver = CentroidalMPCSolver(cfg)
+    params = make_params(cfg, standing_plan(), 0.0, [0.0, 0.0, 0.7])
+    params = params._replace(
+        x0=pack_state(jnp.asarray([0.03, 0.01, 0.69]), jnp.zeros(3), jnp.zeros(3))
+    )
+    sol = solver.solve(params, solver.cold_start())
+    z_o, c_o, res = oracle.solve_oracle(cfg, params)
+    assert res.status == 0, res.message
+    # JAX solve must be as good as the oracle (within 1%, or better)
+    assert float(sol.cost) <= c_o * 1.01 + 1e-6
+    # trajectories agree: z is strongly determined (weight 200); xy sits in a
+    # nearly flat valley (weight 10, symmetry-constrained CoP), so compare
+    # z tightly and xy loosely
+    Fo, Po = oracle._unpack(cfg, z_o)
+    Xo = oracle.rollout_np(cfg, params, Fo, Po)
+    np.testing.assert_allclose(np.asarray(sol.states[:, 2]), Xo[:, 2], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sol.states[:, 0:2]), Xo[:, 0:2], atol=2e-2)
+
+
+def test_oracle_parity_walking_with_push():
+    """Parity on a walking horizon with step adjustment under a push."""
+    from cmw_tpu.cmpc import oracle
+
+    cfg = ergocub_mpc_config(horizon=0.6, sqp_iters=10, admm_iters=150)
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.make_alternating_gait(n_steps=8)
+    plan = contacts.snap_to_grid(plan, cfg.dt)
+    params = make_params(cfg, plan, 1.02, [0.0, 0.0, 0.7], com_ref_xy_drift=0.08)
+    params = params._replace(ext_force=jnp.asarray([0.0, 1.0, 0.0]))
+    sol = solver.solve(params, solver.cold_start())
+    z_o, c_o, res = oracle.solve_oracle(cfg, params)
+    assert res.status == 0, res.message
+    assert float(sol.cost) <= c_o * 1.02 + 1e-6
+    # adjusted footstep positions agree within a millimeter
+    Fo, Po = oracle._unpack(cfg, z_o)
+    adj = np.asarray(params.stage.slot_adjustable * params.stage.slot_valid)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(sol.positions) * adj, Po * adj, atol=2e-3
+    )
+
+
+def test_walking_solve_forces_respect_phases(cfg):
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.make_alternating_gait(n_steps=8)
+    plan = contacts.snap_to_grid(plan, cfg.dt)
+    t0 = 0.9
+    params = make_params(cfg, plan, t0, [0.05, 0.0, 0.7], com_ref_xy_drift=0.1)
+    sol = solver.solve(params, solver.cold_start())
+    act = np.asarray(params.stage.active)  # [nc, T]
+    f = np.asarray(sol.forces)  # [T, nc, ncor, 3]
+    # no force on inactive intervals
+    inactive = 1.0 - act.T[:, :, None, None]
+    assert np.abs(f * inactive).max() < 1e-5
+    # gravity support on average (instantaneous fz oscillates with CoM bounce)
+    fz_tot = f[..., 2].sum(axis=(1, 2))
+    np.testing.assert_allclose(fz_tot.mean(), GRAVITY, rtol=0.10)
+    assert (np.abs(fz_tot - GRAVITY) < 0.4 * GRAVITY).all()
+    assert float(sol.prim_res) < 1e-2
+
+
+def test_step_adjustment_under_push(cfg):
+    """BASELINE config 2: a lateral push moves the upcoming footstep within
+    its bounding box (the defining feature of the reference controller)."""
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.make_alternating_gait(n_steps=8)
+    plan = contacts.snap_to_grid(plan, cfg.dt)
+    t0 = 1.02  # left foot swinging (lift 1.02, land 1.5 after snapping)
+    params_nom = make_params(cfg, plan, t0, [0.0, 0.0, 0.7], com_ref_xy_drift=0.08)
+    params_push = params_nom._replace(ext_force=jnp.asarray([0.0, 1.2, 0.0]))
+
+    sol_nom = solver.solve(params_nom, solver.cold_start())
+    sol_push = solver.solve(params_push, solver.cold_start())
+
+    stage = params_nom.stage
+    adj = np.asarray(stage.slot_adjustable * stage.slot_valid)
+    p_nom_cfg = np.asarray(stage.slot_pos_nom)
+    d_push = (np.asarray(sol_push.positions) - p_nom_cfg) * adj[..., None]
+    # pushed solution moves some upcoming step along +y
+    assert d_push[..., 1].max() > 1e-3, d_push
+    # and stays inside the bounding boxes
+    bl = np.asarray(cfg.bbox_lower)[:, None, :]
+    bu = np.asarray(cfg.bbox_upper)[:, None, :]
+    assert (d_push <= bu + 1e-4).all() and (d_push >= bl - 1e-4).all()
+
+
+def test_warm_start_receding_horizon(cfg):
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.make_alternating_gait(n_steps=8)
+    plan = contacts.snap_to_grid(plan, cfg.dt)
+    warm = solver.cold_start()
+    t0 = 0.9
+    params = make_params(cfg, plan, t0, [0.0, 0.0, 0.7], com_ref_xy_drift=0.1)
+    sol = solver.solve(params, warm)
+    warm = solver.warm_from(params, sol)
+    params2 = make_params(cfg, plan, t0 + cfg.dt, [0.006, 0.0, 0.7], com_ref_xy_drift=0.1)
+    sol2 = solver.solve(params2, warm)
+    assert float(sol2.prim_res) < 1e-2
+    assert np.isfinite(np.asarray(sol2.z)).all()
+    # warm-started cost should not blow up vs cold
+    sol2_cold = solver.solve(params2, solver.cold_start())
+    assert float(sol2.cost) <= float(sol2_cold.cost) * 1.5 + 1.0
+
+
+def test_batched_vmap_solve(cfg):
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.make_alternating_gait(n_steps=8)
+    plan = contacts.snap_to_grid(plan, cfg.dt)
+    base = make_params(cfg, plan, 0.9, [0.0, 0.0, 0.7], com_ref_xy_drift=0.1)
+    B = 4
+    pushes = jnp.stack(
+        [jnp.asarray([0.0, 0.3 * i, 0.0], jnp.float32) for i in range(B)]
+    )
+    batched = jax.vmap(lambda p: base._replace(ext_force=p))(pushes)
+    warm = jax.vmap(lambda _: solver.cold_start())(jnp.arange(B))
+    sols = jax.vmap(solver.solve)(batched, warm)
+    assert sols.forces.shape == (B, cfg.T, cfg.n_contacts, cfg.n_corners, 3)
+    assert np.isfinite(np.asarray(sols.z)).all()
