@@ -243,6 +243,49 @@ def write_back_adjusted(plan: ContactPlan, t0, K: int, slot_pos, slot_valid) -> 
     return plan._replace(pos=jnp.where(use, gathered, plan.pos))
 
 
+def plan_from_timeline(flags, times, pos, rot, P: int = 16) -> ContactPlan:
+    """Convert a sampled contact timeline into a padded ContactPlan.
+
+    flags [S, nc] in {0,1}; times [S]; pos [S, nc, 3]; rot [S, nc, 3, 3]
+    (pos/rot = the locked stance pose at each sample, constant within a
+    phase). This is how the MANN generator's Schmitt-trigger output becomes
+    the reference's `ContactPhaseList` (SURVEY.md §2.5). A phase open at the
+    last sample is left open (deactivation = BIG_TIME), matching a receding
+    horizon where the final stance extends beyond the generated window.
+    """
+    S, nc = flags.shape
+    dt_s = times[1] - times[0]
+    prev = jnp.concatenate([jnp.zeros((1, nc), flags.dtype), flags[:-1]], axis=0)
+    rising = flags * (1.0 - prev)  # [S, nc]
+    phase_id = jnp.cumsum(rising, axis=0) - 1.0  # [S, nc], valid where flags
+    pid = jnp.arange(P, dtype=flags.dtype)
+    onehot = (
+        (phase_id[:, :, None] == pid[None, None, :]) * (flags[:, :, None] > 0)
+    ).astype(flags.dtype)  # [S, nc, P]
+
+    big = jnp.asarray(BIG_TIME, flags.dtype)
+    t_b = times[:, None, None]
+    act = jnp.min(jnp.where(onehot > 0, t_b, big), axis=0)  # [nc, P]
+    last_t = jnp.max(jnp.where(onehot > 0, t_b, -1.0), axis=0)
+    valid = (jnp.max(onehot, axis=0) > 0).astype(flags.dtype)
+    # open at the end if the phase contains the final sample
+    open_end = onehot[-1]  # [nc, P]
+    deact = jnp.where(open_end > 0, big, last_t + dt_s)
+    deact = jnp.where(valid > 0, deact, big)
+    act = jnp.where(valid > 0, act, big)
+
+    # pose: take the sample at the last step of each phase
+    last_idx = jnp.argmax(
+        jnp.where(onehot > 0, jnp.arange(S, dtype=flags.dtype)[:, None, None], -1.0),
+        axis=0,
+    )  # [nc, P] int
+    pos_p = jnp.take_along_axis(jnp.moveaxis(pos, 0, 1), last_idx[:, :, None], axis=1)
+    rot_p = jnp.take_along_axis(
+        jnp.moveaxis(rot, 0, 1), last_idx[:, :, None, None], axis=1
+    )
+    return ContactPlan(act=act, deact=deact, pos=pos_p, rot=rot_p, valid=valid)
+
+
 # ---------------------------------------------------------------------------
 # Scripted gait generation (test/benchmark scenarios; BASELINE config 1 —
 # mirrors the reference's first-run path where the MANN phase list is used

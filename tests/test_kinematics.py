@@ -1,0 +1,164 @@
+"""Kinematics: FK sanity, Jacobians vs autodiff, momentum vs autodiff, URDF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmw_tpu.core import kinematics as K
+from cmw_tpu.core import lie
+
+
+@pytest.fixture(scope="module")
+def model():
+    return K.ergocub_approx()
+
+
+def zero_pose(model, dtype=jnp.float32):
+    q = jnp.zeros(model.nj, dtype)
+    R = jnp.eye(3, dtype=dtype)
+    p = jnp.asarray([0.0, 0.0, 0.75], dtype)
+    return q, R, p
+
+
+def test_fk_standing_geometry(model):
+    q, R, p = zero_pose(model)
+    lR, lp = K.fk(model, q, R, p)
+    fR, fp = K.frame_poses(model, lR, lp)
+    soles = {n: np.asarray(fp[model.frame_index(n)]) for n in ("l_sole", "r_sole")}
+    # soles on the ground, symmetric in y
+    for n, s in soles.items():
+        assert abs(s[2]) < 1e-5, (n, s)
+    assert soles["l_sole"][1] == pytest.approx(-soles["r_sole"][1], abs=1e-6)
+    assert soles["l_sole"][1] > 0.05
+    c = np.asarray(K.com(model, lR, lp))
+    assert abs(c[1]) < 1e-6  # symmetric robot
+    assert 0.5 < c[2] < 1.0
+    assert 50.0 < model.total_mass < 70.0
+
+
+def _fd_frame_jac(model, q, R, p, fidx, eps=1e-3):
+    """Central-difference mixed Jacobian (f32-friendly: O(eps^2) truncation,
+    large eps dominates rounding noise)."""
+
+    def pose_of(dq, dbase):
+        # dbase = [v(3), w(3)] * eps applied in mixed representation
+        R2 = lie.so3_exp(dbase[3:6]) @ R
+        p2 = p + dbase[0:3]
+        lR, lp = K.fk(model, q + dq, R2, p2)
+        fR, fp = K.frame_poses(model, lR, lp)
+        return fR[fidx], fp[fidx]
+
+    cols = []
+    for i in range(6 + model.nj):
+        dq = jnp.zeros(model.nj)
+        db = jnp.zeros(6)
+        if i < 6:
+            db = db.at[i].set(eps)
+        else:
+            dq = dq.at[i - 6].set(eps)
+        Rp_, pp_ = pose_of(dq, db)
+        Rm_, pm_ = pose_of(-dq, -db)
+        dv = (pp_ - pm_) / (2 * eps)
+        dw = lie.so3_log(Rp_ @ Rm_.T) / (2 * eps)
+        cols.append(jnp.concatenate([dv, dw]))
+    return jnp.stack(cols, axis=1)
+
+
+@pytest.mark.parametrize("frame", ["l_sole", "r_sole", "chest"])
+def test_frame_jacobian_matches_fd(model, frame):
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-0.4, 0.4, model.nj), jnp.float32)
+    R = lie.so3_exp(jnp.asarray([0.05, -0.1, 0.3], jnp.float32))
+    p = jnp.asarray([0.1, -0.05, 0.8], jnp.float32)
+    lR, lp = K.fk(model, q, R, p)
+    fidx = model.frame_index(frame)
+    J = K.frame_jacobian(model, lR, lp, fidx)
+    J_fd = _fd_frame_jac(model, q, R, p, fidx)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_fd), atol=2e-3)
+
+
+def test_com_jacobian_matches_fd(model):
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.uniform(-0.3, 0.3, model.nj), jnp.float32)
+    R = lie.so3_exp(jnp.asarray([0.0, 0.1, -0.2], jnp.float32))
+    p = jnp.asarray([0.0, 0.0, 0.8], jnp.float32)
+    lR, lp = K.fk(model, q, R, p)
+    Jc = K.com_jacobian(model, lR, lp)
+    eps = 1e-3
+    cols = []
+    for i in range(6 + model.nj):
+        dq = jnp.zeros(model.nj)
+        db = jnp.zeros(6)
+        if i < 6:
+            db = db.at[i].set(eps)
+        else:
+            dq = dq.at[i - 6].set(eps)
+        lR1, lp1 = K.fk(model, q + dq, lie.so3_exp(db[3:6]) @ R, p + db[0:3])
+        lR2, lp2 = K.fk(model, q - dq, lie.so3_exp(-db[3:6]) @ R, p - db[0:3])
+        cols.append((K.com(model, lR1, lp1) - K.com(model, lR2, lp2)) / (2 * eps))
+    J_fd = jnp.stack(cols, axis=1)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(J_fd), atol=2e-3)
+
+
+def test_centroidal_momentum_linear_part(model):
+    """Linear momentum = M * d(com)/dt = M * Jcom @ nu."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-0.3, 0.3, model.nj), jnp.float32)
+    R = lie.so3_exp(jnp.asarray([0.02, 0.05, -0.1], jnp.float32))
+    p = jnp.asarray([0.0, 0.0, 0.8], jnp.float32)
+    nu = jnp.asarray(rng.uniform(-0.5, 0.5, 6 + model.nj), jnp.float32)
+    lR, lp = K.fk(model, q, R, p)
+    h = K.centroidal_momentum(model, lR, lp, nu)
+    Jc = K.com_jacobian(model, lR, lp)
+    lin_expected = model.total_mass * (Jc @ nu)
+    np.testing.assert_allclose(np.asarray(h[0:3]), np.asarray(lin_expected), rtol=1e-3, atol=1e-3)
+
+
+def test_fk_jit_vmap(model):
+    q = jnp.zeros((8, model.nj))
+    R = jnp.broadcast_to(jnp.eye(3), (8, 3, 3))
+    p = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.8]), (8, 3))
+    lR, lp = jax.jit(jax.vmap(lambda a, b, c: K.fk(model, a, b, c)))(q, R, p)
+    assert lR.shape == (8, model.nj + 1, 3, 3)
+
+
+URDF_2DOF = """
+<robot name="arm">
+  <link name="base"><inertial><mass value="1.0"/><origin xyz="0 0 0"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.01"/></inertial></link>
+  <link name="l1"><inertial><mass value="2.0"/><origin xyz="0 0 -0.25"/>
+    <inertia ixx="0.02" iyy="0.02" izz="0.002"/></inertial></link>
+  <link name="l1b"><inertial><mass value="0.5"/><origin xyz="0 0 0"/>
+    <inertia ixx="0.001" iyy="0.001" izz="0.001"/></inertial></link>
+  <link name="l2"><inertial><mass value="1.5"/><origin xyz="0 0 -0.2"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.001"/></inertial></link>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 -0.1" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+  <joint name="weld" type="fixed">
+    <parent link="l1"/><child link="l1b"/><origin xyz="0 0 -0.5"/>
+  </joint>
+  <joint name="j2" type="revolute">
+    <parent link="l1b"/><child link="l2"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+</robot>
+"""
+
+
+def test_urdf_parse_and_fk():
+    model = K.parse_urdf(URDF_2DOF, "base", ["j1", "j2"], {"tip": "l2"})
+    assert model.nj == 2
+    # welded link mass merged: l1 + l1b = 2.5
+    np.testing.assert_allclose(model.link_mass, [1.0, 2.5, 1.5])
+    q = jnp.asarray([0.0, jnp.pi / 2])
+    lR, lp = K.fk(model, q, jnp.eye(3), jnp.zeros(3))
+    fR, fp = K.frame_poses(model, lR, lp)
+    tip = np.asarray(fp[model.frame_index("tip")])
+    # j1 at z=-0.1, l2 at 0.5 below j1 then rotated 90deg about y
+    np.testing.assert_allclose(tip, [0.0, 0.0, -0.6], atol=1e-6)
+    # com jacobian consistent with fd on the parsed model too
+    Jc = K.com_jacobian(model, lR, lp)
+    assert Jc.shape == (3, 8)
