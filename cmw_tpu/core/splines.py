@@ -39,6 +39,7 @@ def quintic_hermite(t, t0, t1, p0, v0, a0, p1, v1, a1):
     """
     T = jnp.maximum(t1 - t0, 1e-9)
     s = jnp.clip((t - t0) / T, 0.0, 1.0)[..., None]
+    T = jnp.asarray(T)[..., None]  # broadcast against the channel dim
     V0, V1 = v0 * T, v1 * T
     A0, A1 = a0 * T * T, a1 * T * T
     # Coefficients of p(s) = c0 + c1 s + c2 s^2 + c3 s^3 + c4 s^4 + c5 s^5

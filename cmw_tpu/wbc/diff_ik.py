@@ -1,0 +1,126 @@
+"""Differential inverse kinematics QP — the reference's IK task stack.
+
+Equivalent of BLF `IK::QPInverseKinematics` built from ik.ini (reference
+WholeBodyQPBlock.cpp:131-175, solve at :1233-1237). Variables
+nu = [base linear vel (3), base angular vel (3), qdot (26)] (mixed
+representation). Task set exactly per config/robots/ergoCubGazeboV1/ik.ini:
+
+  priority 0 (hard):  LEFT_FOOT / RIGHT_FOOT SE3Task (kp_lin 5, kp_ang 4),
+                      COM CoMTask xy (kp 2, mask (1,1,0)),
+                      ROOT_TASK R3Task z (kp 1, mask (0,0,1))
+  priority 1 (soft):  CHEST SO3Task (kp 5, weight (10,10,10)),
+                      JOINT_REGULARIZATION JointTrackingTask (kp 5/joint,
+                      weights 1/2 per ik.ini)
+
+Hard tasks become equality constraints, soft tasks the weighted objective;
+with no inequality rows in this config the QP reduces to one dense KKT
+solve (qp.solve_eq_qp) — fully jittable and batchable, replacing BLF's
+osqp backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cmw_tpu.core import kinematics as kin
+from cmw_tpu.core import lie
+from cmw_tpu.cmpc.qp import solve_eq_qp
+
+_JOINT_REG_WEIGHT = (
+    1.0, 1.0, 1.0, 1.0, 1.0, 1.0,  # left leg   (ik.ini weight rows 1-2)
+    2.0, 2.0, 2.0, 2.0, 2.0, 2.0,  # right leg / torso block per ik.ini
+    2.0, 2.0, 1.0,
+    1.0, 1.0, 1.0,
+    1.0, 1.0, 1.0, 1.0,
+    1.0, 1.0, 1.0, 1.0,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class IKConfig:
+    kp_foot_lin: float = 5.0
+    kp_foot_ang: float = 4.0
+    kp_com: float = 2.0
+    kp_root: float = 1.0
+    kp_chest: float = 5.0
+    kp_posture: float = 5.0
+    chest_weight: tuple = (10.0, 10.0, 10.0)
+    posture_weight: tuple = _JOINT_REG_WEIGHT
+    damping: float = 1e-4  # Tikhonov on the soft objective
+
+
+class IKTargets(NamedTuple):
+    foot_rot: jnp.ndarray  # [2, 3, 3]
+    foot_pos: jnp.ndarray  # [2, 3]
+    foot_lin_vel: jnp.ndarray  # [2, 3]
+    foot_ang_vel: jnp.ndarray  # [2, 3]
+    com_xy: jnp.ndarray  # [2]
+    dcom_xy: jnp.ndarray  # [2]
+    root_z: jnp.ndarray  # []
+    droot_z: jnp.ndarray  # []
+    chest_rot: jnp.ndarray  # [3, 3]
+    q_reg: jnp.ndarray  # [26]
+
+
+def solve_ik(
+    model: kin.RobotModel,
+    q,
+    base_rot,
+    base_pos,
+    targets: IKTargets,
+    cfg: IKConfig = IKConfig(),
+):
+    """One IK QP solve. Returns nu [6+nj] = [v_base, w_base, qdot]."""
+    dt = q.dtype
+    nv = 6 + model.nj
+    lR, lp = kin.fk(model, q, base_rot, base_pos)
+    fR, fp = kin.frame_poses(model, lR, lp)
+
+    rows_J, rows_b = [], []
+    for i, frame in enumerate(("l_sole", "r_sole")):
+        fidx = model.frame_index(frame)
+        J = kin.frame_jacobian(model, lR, lp, fidx)
+        e_lin = targets.foot_lin_vel[i] + cfg.kp_foot_lin * (targets.foot_pos[i] - fp[fidx])
+        e_ang = targets.foot_ang_vel[i] + cfg.kp_foot_ang * lie.so3_log(
+            targets.foot_rot[i] @ fR[fidx].T
+        )
+        rows_J.append(J)
+        rows_b.append(jnp.concatenate([e_lin, e_ang]))
+
+    Jcom = kin.com_jacobian(model, lR, lp)
+    c = kin.com(model, lR, lp)
+    rows_J.append(Jcom[0:2])
+    rows_b.append(targets.dcom_xy + cfg.kp_com * (targets.com_xy - c[0:2]))
+
+    # ROOT_TASK: R3Task on root_link origin, mask (0,0,1)
+    ridx = model.frame_index("root_link")
+    Jroot = kin.frame_jacobian(model, lR, lp, ridx)
+    rows_J.append(Jroot[2:3])
+    rows_b.append(
+        (targets.droot_z + cfg.kp_root * (targets.root_z - fp[ridx, 2]))[None]
+    )
+
+    A = jnp.concatenate(rows_J, axis=0)  # [15, nv]
+    b = jnp.concatenate(rows_b, axis=0)
+
+    # soft: chest SO3 + posture
+    cidx = model.frame_index("chest")
+    Jchest = kin.frame_jacobian(model, lR, lp, cidx)[3:6]
+    e_chest = cfg.kp_chest * lie.so3_log(targets.chest_rot @ fR[cidx].T)
+    w_chest = jnp.asarray(cfg.chest_weight, dt)
+
+    Jpost = jnp.concatenate([jnp.zeros((model.nj, 6), dt), jnp.eye(model.nj, dtype=dt)], axis=1)
+    e_post = cfg.kp_posture * (targets.q_reg - q)
+    w_post = jnp.asarray(cfg.posture_weight, dt)
+
+    Js = jnp.concatenate([Jchest, Jpost], axis=0)
+    es = jnp.concatenate([e_chest, e_post])
+    W = jnp.concatenate([w_chest, w_post])
+
+    H = (Js * W[:, None]).T @ Js + cfg.damping * jnp.eye(nv, dtype=dt)
+    g = (Js * W[:, None]).T @ es
+    return solve_eq_qp(H, g, A, b)
