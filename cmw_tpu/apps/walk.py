@@ -1,0 +1,101 @@
+"""Closed-loop walking demo — the `cmw-walking` equivalent.
+
+Runs the full MANN -> CentroidalMPC -> WBC loop for a scripted joystick
+schedule and writes telemetry (npz). The reference's interactive
+SDL joypad (cmw-FakeJoypad, SURVEY.md R4-R6) maps to `--joystick`
+segments: "t0:mx,my,fx,fy" changes the command at time t0.
+
+Example:
+  python -m cmw_tpu.apps.walk --seconds 4 --joystick 0:1,0,1,0 2:0,1,1,0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--robot", default="ergoCubGazeboV1", choices=["ergoCubGazeboV1", "ergoCubSN000"])
+    p.add_argument(
+        "--mann",
+        default=(
+            "/root/reference/src/centroidal-mpc-walking/config/robots/"
+            "ergoCubGazeboV1/onnx_50_mann4_smaller_steps.onnx"
+        ),
+    )
+    p.add_argument("--urdf", default=None, help="optional robot URDF (default: built-in model)")
+    p.add_argument("--joystick", nargs="*", default=["0:1,0,1,0"], help="t0:mx,my,fx,fy segments")
+    p.add_argument("--push", default=None, help="t0,t1,fx,fy,fz external push window")
+    p.add_argument("--out", default="walk_telemetry.npz")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmw_tpu.core import kinematics as kin
+    from cmw_tpu.mann.network import load_mann_weights
+    from cmw_tpu.runtime import telemetry
+    from cmw_tpu.runtime.config import ergocub_gazebo_v1, ergocub_sn000
+    from cmw_tpu.runtime.loop import TickInput, WalkingController
+
+    cfg = ergocub_gazebo_v1() if args.robot == "ergoCubGazeboV1" else ergocub_sn000()
+    if args.urdf:
+        from cmw_tpu.core.kinematics import ERGOCUB_JOINTS, parse_urdf
+
+        model = parse_urdf(
+            args.urdf,
+            "root_link",
+            list(ERGOCUB_JOINTS),
+            {"l_sole": "l_sole", "r_sole": "r_sole", "chest": "chest", "root_link": "root_link"},
+        )
+    else:
+        model = kin.ergocub_approx()
+    ctl = WalkingController(cfg, model, load_mann_weights(args.mann))
+
+    S = int(round(args.seconds / cfg.wbc_dt))
+    joy = np.zeros((S, 4), np.float32)
+    segs = []
+    for seg in args.joystick:
+        t0, vals = seg.split(":")
+        segs.append((float(t0), [float(v) for v in vals.split(",")]))
+    for t0, vals in sorted(segs):
+        joy[int(t0 / cfg.wbc_dt) :] = vals
+    ext = np.zeros((S, 3), np.float32)
+    if args.push:
+        t0, t1, fx, fy, fz = [float(v) for v in args.push.split(",")]
+        ext[int(t0 / cfg.wbc_dt) : int(t1 / cfg.wbc_dt)] = [fx, fy, fz]
+
+    inputs = TickInput(
+        joypad=jnp.asarray(joy), ext_force=jnp.asarray(ext), ext_torque=jnp.zeros((S, 3))
+    )
+    t = time.perf_counter()
+    sN, tel = ctl.run_episode(ctl.initial_state(), inputs)
+    com = np.asarray(tel.com_mpc)  # also blocks
+    wall = time.perf_counter() - t
+
+    telemetry.save(args.out, tel, cfg.wbc_dt, extra={"robot": args.robot})
+    summary = {
+        "ticks": S,
+        "sim_seconds": args.seconds,
+        "wall_seconds": round(wall, 2),
+        "realtime_factor": round(args.seconds / wall, 2),
+        "com_travel_xy": [round(float(com[-1, i] - com[0, i]), 3) for i in (0, 1)],
+        "com_z_range": [round(float(com[:, 2].min()), 3), round(float(com[:, 2].max()), 3)],
+        "finite": bool(np.isfinite(com).all()),
+        "mpc_prim_max": float(np.asarray(tel.mpc_prim).max()),
+        "telemetry": args.out,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

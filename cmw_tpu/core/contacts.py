@@ -60,9 +60,14 @@ def empty_plan(nc: int = 2, P: int = 16, dtype=jnp.float32) -> ContactPlan:
     )
 
 
+_T_TOL = 1e-4  # half-tick slack: f32 time accumulation vs grid-snapped phases
+
+
 def _phase_mask_at(plan: ContactPlan, t) -> jnp.ndarray:
-    """[nc, P] mask of phases active at time t (act <= t < deact)."""
-    return plan.valid * (plan.act <= t) * (t < plan.deact)
+    """[nc, P] mask of phases active at time t (act <= t < deact), with a
+    small tolerance so accumulated-f32 times at exact phase boundaries
+    resolve to the newly-started phase."""
+    return plan.valid * (plan.act <= t + _T_TOL) * (t + _T_TOL < plan.deact)
 
 
 def active_phase(plan: ContactPlan, t):
@@ -124,7 +129,7 @@ def merge_plans(mann: ContactPlan, mpc: ContactPlan, t) -> ContactPlan:
     # slot 0 holds the merged current contact (or is invalidated).
     mpc_idx, mpc_active = active_phase(mpc, t)
     mann_idx, mann_active = active_phase(mann, t)
-    _, _, mpc_pos, mpc_rot, _ = gather_phase(mpc, mpc_idx)
+    mpc_act_t, _, mpc_pos, mpc_rot, _ = gather_phase(mpc, mpc_idx)
     m_act, m_deact, mann_pos, mann_rot, _ = gather_phase(mann, mann_idx)
 
     use_merged = mpc_active * mann_active  # [nc]
@@ -141,13 +146,37 @@ def merge_plans(mann: ContactPlan, mpc: ContactPlan, t) -> ContactPlan:
     pos = jnp.where(sel[..., None] > 0, mpc_pos[:, None, :], mann.pos)
     rot = jnp.where(sel[..., None, None] > 0, mpc_rot[:, None, :, :], mann.rot)
 
-    return ContactPlan(
-        act=jnp.where(keep > 0, mann.act, BIG_TIME),
-        deact=jnp.where(keep > 0, mann.deact, BIG_TIME),
-        pos=pos,
-        rot=rot,
-        valid=keep,
+    act = jnp.where(keep > 0, mann.act, BIG_TIME)
+    deact = jnp.where(keep > 0, mann.deact, BIG_TIME)
+    valid = keep
+
+    # The regenerated MANN timeline only starts at t, so its "current" phase
+    # activation is clipped to ~t; restore the true activation time from the
+    # previous plan (the reference's generator keeps continuous history, so
+    # its mann timing already carries the real activation).
+    act = jnp.where(
+        sel > 0, jnp.minimum(act, mpc_act_t[:, None]), act
     )
+
+    # A foot swinging at t has no active contact in either plan, but the
+    # swing planner must interpolate FROM its previous stance pose — retain
+    # the old plan's most recent past phase in the (free) last slot.
+    prev_idx, has_prev = present_phase(mpc, t)
+    pa, pd, ppos, prot, _ = gather_phase(mpc, prev_idx)
+    keep_past = (1.0 - mann_active) * has_prev  # [nc]
+    act = act.at[:, P - 1].set(jnp.where(keep_past > 0, pa, act[:, P - 1]))
+    deact = deact.at[:, P - 1].set(
+        jnp.where(keep_past > 0, jnp.minimum(pd, t), deact[:, P - 1])
+    )
+    valid = valid.at[:, P - 1].set(jnp.maximum(valid[:, P - 1], keep_past))
+    pos = pos.at[:, P - 1].set(
+        jnp.where(keep_past[:, None] > 0, ppos, pos[:, P - 1])
+    )
+    rot = rot.at[:, P - 1].set(
+        jnp.where(keep_past[:, None, None] > 0, prot, rot[:, P - 1])
+    )
+
+    return ContactPlan(act=act, deact=deact, pos=pos, rot=rot, valid=valid)
 
 
 class MPCStageParams(NamedTuple):

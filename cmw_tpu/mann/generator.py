@@ -201,14 +201,17 @@ def _parse_output(y):
 
 
 def _base_height_for_stance(model: kin.RobotModel, q, yaw, stance_sel):
-    """Base z s.t. the (soft-selected) stance sole sits on the ground."""
+    """Base z s.t. the lowest sole sits exactly on the ground — walking has
+    no flight phase, so the stance foot is always the lower one. (The
+    reference reconstructs the base from the support foot with its robot
+    model; pinning the min-height sole is the flight-free equivalent.)"""
+    del stance_sel
     lR, lp = kin.fk(model, q, lie.rotz(yaw), jnp.zeros(3, q.dtype))
     fR, fp = kin.frame_poses(model, lR, lp)
     zs = jnp.stack(
         [fp[model.frame_index("l_sole"), 2], fp[model.frame_index("r_sole"), 2]]
     )
-    w = stance_sel / jnp.maximum(stance_sel.sum(), 1e-6)
-    return -(w * zs).sum()
+    return -jnp.min(zs)
 
 
 def step(
@@ -313,3 +316,23 @@ def generate(
 
     final, outs = jax.lax.scan(body, state, None, length=cfg.n_steps)
     return final, outs
+
+
+def generate_with_states(
+    cfg: GeneratorConfig,
+    model: kin.RobotModel,
+    weights: MANNWeights,
+    state: GeneratorState,
+    desired: DesiredBaseTrajectory,
+):
+    """Like generate(), but also returns the stacked post-step states so the
+    runtime can re-root the next generation at an intermediate knot (the
+    reference's mergePointIndex, CentroidalMPCBlock.cpp:464-468):
+    `jax.tree.map(lambda a: a[k], states)` is the state after step k."""
+
+    def body(s, _):
+        s2, rec = step(cfg, model, weights, s, desired)
+        return s2, (rec, s2)
+
+    final, (outs, states) = jax.lax.scan(body, state, None, length=cfg.n_steps)
+    return final, outs, states

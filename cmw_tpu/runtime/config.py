@@ -1,0 +1,63 @@
+"""Configuration presets (the reference's ini tree, SURVEY.md §5.6).
+
+Dataclass equivalents of config/robots/<ROBOT>/*.ini with the same
+parameter values; per-robot presets keep the reference's behavioral deltas
+(sim 16.7 Hz vs real 10 Hz MPC, WBC 500/200/100 Hz).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from cmw_tpu.cmpc.formulation import MPCConfig
+from cmw_tpu.mann.generator import GeneratorConfig
+from cmw_tpu.mann.input_builder import InputBuilderConfig
+from cmw_tpu.wbc.com_zmp import CoMZMPGains
+from cmw_tpu.wbc.diff_ik import IKConfig
+from cmw_tpu.wbc.swing_foot import SwingFootConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkingConfig:
+    """Everything the closed loop needs; hashable (static under jit)."""
+
+    mpc: MPCConfig = MPCConfig()
+    gen: GeneratorConfig = GeneratorConfig()
+    ik: IKConfig = IKConfig()
+    swing: SwingFootConfig = SwingFootConfig()
+    gains: CoMZMPGains = CoMZMPGains()
+    input_builder: InputBuilderConfig = InputBuilderConfig()
+    wbc_dt: float = 0.002  # WHOLE_BODY_RUNNER sampling_time
+    plan_phases: int = 16
+    # CoM-height reference override (CentroidalMPCBlock.cpp:531-534 pins it
+    # to 0.7 m for ergoCub; None -> slightly below the initial CoM height,
+    # which suits the built-in approximate model)
+    com_height_override: float | None = None
+    com_height_drop: float = 0.02
+
+    @property
+    def mpc_every(self) -> int:
+        return int(round(self.mpc.dt / self.wbc_dt))
+
+    @property
+    def mann_advance(self) -> int:
+        """Generator steps consumed per MPC tick (merge-point stride) —
+        the reference's mannCallingTime = lcm(gen dT, MPC dT)
+        (CentroidalMPCBlock.cpp:262-265)."""
+        return int(round(self.mpc.dt / self.gen.dt))
+
+
+def ergocub_gazebo_v1(**overrides) -> WalkingConfig:
+    """Sim preset (config/robots/ergoCubGazeboV1: MPC 16.7 Hz, WBC 500 Hz)."""
+    return WalkingConfig(**overrides)
+
+
+def ergocub_sn000(**overrides) -> WalkingConfig:
+    """Real-robot preset (config/robots/ergoCubSN000: MPC 10 Hz with a
+    1.3 s horizon and early-terminated SQP, WBC 200 Hz)."""
+    kw = dict(
+        mpc=MPCConfig(dt=0.1, horizon=1.3, sqp_iters=2, admm_iters=30),
+        wbc_dt=0.005,
+    )
+    kw.update(overrides)
+    return WalkingConfig(**kw)

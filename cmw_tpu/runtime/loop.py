@@ -1,0 +1,362 @@
+"""The closed-loop walking controller as one jitted multi-rate scan.
+
+Re-composition of the reference's two-thread pipeline (SURVEY.md §3.2-3.3)
+into a single deterministic control graph:
+
+  every WBC tick (wbc_dt):            every MPC tick (lax.cond-gated):
+    fixed-foot detector                 joystick -> input builder
+    legged odometry (telemetry)         MANN generate (0.8 s @ 50 Hz),
+    centroidal RK4 integrator             merge-point re-root at +mpc dt
+    desired/measured ZMP                frequency adapters (linear splines)
+    CoM-ZMP stabilizer                  contact-plan merge + grid snap
+    CoM LTI integrator                  CentroidalMPC SQP solve (warm)
+    swing-foot planners                 write adjusted steps back to plan
+    differential-IK QP                  hold first-interval corner forces
+    floating-base + joint integration
+
+Feedback topology matches the reference exactly: the MPC receives the
+*integrated* centroidal state, not raw measurements
+(WholeBodyQPBlock.cpp:1259-1262 — the "adherent model" loop, SURVEY.md
+§3.3 note), so the closed loop is well-defined without a physics engine;
+external pushes enter as measured wrenches, exactly like the reference's
+push-recovery experiments (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cmw_tpu.cmpc import formulation as F
+from cmw_tpu.cmpc.solver import CentroidalMPCSolver, WarmStart
+from cmw_tpu.core import contacts as C
+from cmw_tpu.core import kinematics as kin
+from cmw_tpu.core import lie
+from cmw_tpu.core.centroidal import centroidal_dynamics, pack_state
+from cmw_tpu.core.integrators import rk4_step
+from cmw_tpu.core.splines import linear_spline
+from cmw_tpu.estimation import fixed_foot, legged_odom
+from cmw_tpu.mann import generator as G
+from cmw_tpu.mann.input_builder import build_desired_trajectory
+from cmw_tpu.mann.network import MANNWeights
+from cmw_tpu.runtime.config import WalkingConfig
+from cmw_tpu.wbc import swing_foot
+from cmw_tpu.wbc.com_zmp import com_zmp_control
+from cmw_tpu.wbc.diff_ik import IKTargets, solve_ik
+from cmw_tpu.wbc.zmp import desired_zmp_from_corners
+
+
+class LoopState(NamedTuple):
+    t: jnp.ndarray  # [] absolute time
+    tick: jnp.ndarray  # [] int
+    x9: jnp.ndarray  # [9] integrated centroidal state (MPC plant)
+    com_xy_int: jnp.ndarray  # [2] CoM LTI integrator
+    base_rot: jnp.ndarray  # [3,3] desired floating base
+    base_pos: jnp.ndarray  # [3]
+    q: jnp.ndarray  # [nj] desired joints (PositionDirect stream)
+    warm: WarmStart
+    plan: C.ContactPlan  # merged + MPC-adjusted plan
+    forces0: jnp.ndarray  # [nc,ncor,3] held MPC first-interval forces
+    corner0: jnp.ndarray  # [nc,ncor,3] their world positions
+    active0: jnp.ndarray  # [nc]
+    zmp_des: jnp.ndarray  # [3]
+    gen_state: G.GeneratorState
+    q_reg: jnp.ndarray  # [nj] MANN posture regularization
+    chest_yaw: jnp.ndarray  # []
+    root_z_off: jnp.ndarray  # [] bootstrap root offset (WBQP:1066-1080)
+    com_z_ref: jnp.ndarray  # [] height reference
+    mpc_cost: jnp.ndarray  # [] last solve diagnostics
+    mpc_prim: jnp.ndarray  # []
+
+
+class TickInput(NamedTuple):
+    joypad: jnp.ndarray  # [4] = [motion_x, motion_y, facing_x, facing_y]
+    ext_force: jnp.ndarray  # [3] mass-normalized push (measured wrench)
+    ext_torque: jnp.ndarray  # [3]
+
+
+class Telemetry(NamedTuple):
+    """Per-tick channels (the reference's VectorsCollectionServer schema,
+    WholeBodyQPBlock.cpp:655-712)."""
+
+    com_mpc: jnp.ndarray  # integrated centroidal state: com
+    dcom_mpc: jnp.ndarray
+    ang_mom_mpc: jnp.ndarray
+    com_meas: jnp.ndarray  # FK CoM of the commanded robot
+    com_ik_target: jnp.ndarray
+    zmp_des: jnp.ndarray
+    foot_pos_des: jnp.ndarray  # [nc,3]
+    foot_contact: jnp.ndarray  # [nc]
+    forces0: jnp.ndarray  # [nc,ncor,3]
+    q: jnp.ndarray
+    base_pos: jnp.ndarray
+    base_est_pos: jnp.ndarray  # legged-odometry estimate
+    fixed_foot_idx: jnp.ndarray
+    mpc_cost: jnp.ndarray
+    mpc_prim: jnp.ndarray
+    adjusted_step: jnp.ndarray  # [nc, K, 3] current slot positions
+
+
+class WalkingController:
+    """Holds the static pieces: configs, robot model, MANN weights."""
+
+    def __init__(self, cfg: WalkingConfig, model: kin.RobotModel, weights: MANNWeights):
+        self.cfg = cfg
+        self.model = model
+        self.weights = weights
+        self.solver = CentroidalMPCSolver(cfg.mpc)
+        self.mass = model.total_mass
+
+    # -- init -----------------------------------------------------------------
+
+    def initial_state(self, q0=None, dtype=jnp.float32) -> LoopState:
+        cfg, model = self.cfg, self.model
+        nj = model.nj
+        q0 = jnp.zeros(nj, dtype) if q0 is None else q0
+        # place the base so the soles touch the ground
+        lR, lp = kin.fk(model, q0, jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype))
+        fR, fp = kin.frame_poses(model, lR, lp)
+        li, ri = model.frame_index("l_sole"), model.frame_index("r_sole")
+        base_pos = jnp.asarray([0.0, 0.0, -fp[li, 2]], dtype)
+        lR, lp = kin.fk(model, q0, jnp.eye(3, dtype=dtype), base_pos)
+        fR, fp = kin.frame_poses(model, lR, lp)
+        com0 = kin.com(model, lR, lp)
+        com_z_ref = (
+            cfg.com_height_override
+            if cfg.com_height_override is not None
+            else com0[2] - cfg.com_height_drop
+        )
+
+        # initial double-stance plan
+        plan = C.empty_plan(2, cfg.plan_phases, dtype)
+        plan = plan._replace(
+            act=plan.act.at[:, 0].set(0.0),
+            deact=plan.deact.at[:, 0].set(C.BIG_TIME),
+            valid=plan.valid.at[:, 0].set(1.0),
+            pos=plan.pos.at[0, 0].set(fp[li]).at[1, 0].set(fp[ri]),
+            rot=plan.rot.at[0, 0].set(fR[li]).at[1, 0].set(fR[ri]),
+        )
+
+        stage = C.mpc_stage_params(plan, 0.0, cfg.mpc.T, cfg.mpc.dt, cfg.mpc.n_slots)
+        forces0 = F.nominal_force_guess(cfg.mpc, stage, dtype)[0]
+        _, _, corner_k = F.interval_contact_geometry(
+            cfg.mpc, stage, stage.slot_pos_nom
+        )
+        gen0 = G.initial_state(cfg.gen, model, q0)
+        return LoopState(
+            t=jnp.zeros((), dtype),
+            tick=jnp.zeros((), jnp.int32),
+            x9=pack_state(com0, jnp.zeros(3, dtype), jnp.zeros(3, dtype)),
+            com_xy_int=com0[0:2],
+            base_rot=jnp.eye(3, dtype=dtype),
+            base_pos=base_pos,
+            q=q0,
+            warm=self.solver.cold_start(dtype),
+            plan=plan,
+            forces0=forces0,
+            corner0=corner_k[0],
+            active0=stage.active[:, 0],
+            zmp_des=com0.at[2].set(0.0),
+            gen_state=gen0,
+            q_reg=q0,
+            chest_yaw=jnp.zeros((), dtype),
+            root_z_off=base_pos[2] - com0[2],
+            com_z_ref=jnp.asarray(com_z_ref, dtype),
+            mpc_cost=jnp.zeros((), dtype),
+            mpc_prim=jnp.zeros((), dtype),
+        )
+
+    # -- MPC + MANN stage (every cfg.mpc_every ticks) ---------------------------
+
+    def _mpc_stage(self, s: LoopState, inp: TickInput) -> LoopState:
+        cfg, model = self.cfg, self.model
+        dtype = s.x9.dtype
+        mpc = cfg.mpc
+
+        # 1. joystick -> desired base trajectory
+        desired = build_desired_trajectory(
+            inp.joypad[0:2], inp.joypad[2:4], cfg.input_builder
+        )
+
+        # 2. MANN autoregression over its horizon; re-root at +mpc.dt
+        _, outs, states = G.generate_with_states(
+            cfg.gen, model, self.weights, s.gen_state, desired
+        )
+        k = cfg.mann_advance - 1
+        gen_next = jax.tree_util.tree_map(lambda a: a[k], states)
+
+        # 3. frequency adapters: 50 Hz outputs -> MPC knots
+        #    (CentroidalMPCBlock.cpp:544-577); clamped beyond 0.8 s
+        gen_times = (jnp.arange(cfg.gen.n_steps, dtype=dtype) + 1.0) * cfg.gen.dt
+        knot_times = jnp.arange(mpc.N, dtype=dtype) * mpc.dt
+        com_ref, _ = linear_spline(gen_times, outs.com, knot_times)
+        com_ref = com_ref.at[:, 2].set(s.com_z_ref)  # z override (:531-534)
+        L_ref, _ = linear_spline(gen_times, outs.ang_mom, knot_times)
+        L_ref = L_ref / self.mass  # mass normalization (:525-529)
+
+        # 4. MANN contact plan (absolute times). Prepend the generator's
+        #    state at the current time so the ongoing stance phase covers t
+        #    (otherwise the merged plan would have a one-sample hole at t).
+        flags = jnp.concatenate([s.gen_state.contact[None], outs.contact], axis=0)
+        pose_tl = jnp.concatenate(
+            [s.gen_state.foot_pose_xy_yaw[None], outs.foot_pose_xy_yaw], axis=0
+        )
+        tl_times = s.t + jnp.concatenate([jnp.zeros(1, dtype), gen_times])
+        foot_pos = jnp.concatenate(
+            [pose_tl[..., 0:2], jnp.zeros(pose_tl.shape[:-1] + (1,), dtype)],
+            axis=-1,
+        )
+        foot_rot = lie.rotz(pose_tl[..., 2])
+        mann_plan = C.plan_from_timeline(
+            flags, tl_times, foot_pos, foot_rot, P=cfg.plan_phases
+        )
+
+        # 5. merge with previous (adjusted) plan, snap to the MPC grid
+        plan = C.merge_plans(mann_plan, s.plan, s.t)
+        plan = C.snap_to_grid(plan, mpc.dt)
+
+        # 6. solve the MPC from the integrated state (adherent loop)
+        stage = C.mpc_stage_params(plan, s.t, mpc.T, mpc.dt, mpc.n_slots)
+        params = F.MPCParams(
+            x0=s.x9,
+            com_ref=com_ref,
+            ang_mom_ref=L_ref,
+            stage=stage,
+            ext_force=inp.ext_force,
+            ext_torque=inp.ext_torque,
+        )
+        sol = self.solver.solve(params, s.warm)
+        warm = self.solver.warm_from(params, sol)
+
+        # 7. write adjusted footsteps back; hold first-interval forces
+        plan = C.write_back_adjusted(plan, s.t, mpc.n_slots, sol.positions, stage.slot_valid)
+        _, _, corner_k = F.interval_contact_geometry(mpc, stage, sol.positions)
+        pos_k0 = jnp.einsum("is,isx->ix", stage.slot_onehot[:, 0, :], sol.positions)
+        zmp_des = desired_zmp_from_corners(
+            sol.forces[0], corner_k[0], centers=pos_k0
+        )
+
+        return s._replace(
+            warm=warm,
+            plan=plan,
+            forces0=sol.forces[0],
+            corner0=corner_k[0],
+            active0=stage.active[:, 0],
+            zmp_des=zmp_des,
+            gen_state=gen_next,
+            q_reg=outs.joints[0],
+            chest_yaw=outs.base_xy_yaw[0, 2],
+            mpc_cost=sol.cost,
+            mpc_prim=sol.prim_res,
+        )
+
+    # -- WBC stage (every tick) -------------------------------------------------
+
+    def _wbc_stage(self, s: LoopState, inp: TickInput) -> tuple[LoopState, Telemetry]:
+        cfg, model = self.cfg, self.model
+        dt = cfg.wbc_dt
+
+        # estimation: fixed foot + legged odometry on the commanded joints
+        ff = fixed_foot.detect(s.plan, s.t)
+        odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
+        base_est_R, base_est_p = legged_odom.base_pose(model, odo, s.q)
+
+        # centroidal integrator under held MPC forces (+ measured push)
+        dyn = lambda x: centroidal_dynamics(
+            x, s.forces0, s.corner0, s.active0, inp.ext_force, inp.ext_torque
+        )
+        x9 = rk4_step(dyn, s.x9, dt)
+        com_des3, dcom_des3 = x9[0:3], x9[3:6]
+
+        # measured CoM (FK of the commanded robot) + measured ZMP (ideal
+        # plant: applied forces realize the desired ZMP)
+        lR, lp = kin.fk(model, s.q, s.base_rot, s.base_pos)
+        com_meas = kin.com(model, lR, lp)
+        zmp_meas = s.zmp_des
+
+        v_cmd = com_zmp_control(
+            dcom_des3[0:2],
+            com_des3[0:2],
+            s.zmp_des[0:2],
+            com_meas[0:2],
+            zmp_meas[0:2],
+            lie.yaw_of(s.base_rot),
+            cfg.gains,
+        )
+        com_xy_int = s.com_xy_int + dt * v_cmd
+
+        feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
+
+        targets = IKTargets(
+            foot_rot=feet.rot,
+            foot_pos=feet.pos,
+            foot_lin_vel=feet.lin_vel,
+            foot_ang_vel=feet.ang_vel,
+            com_xy=com_xy_int,
+            dcom_xy=v_cmd,
+            root_z=com_des3[2] + s.root_z_off,
+            droot_z=dcom_des3[2],
+            chest_rot=lie.rotz(s.chest_yaw),
+            q_reg=s.q_reg,
+        )
+        nu = solve_ik(model, s.q, s.base_rot, s.base_pos, targets, cfg.ik)
+        base_rot, base_pos = lie.integrate_mixed_velocity(
+            s.base_rot, s.base_pos, nu[0:3], nu[3:6], dt
+        )
+        q = s.q + dt * nu[6:]
+
+        s2 = s._replace(
+            t=s.t + dt,
+            tick=s.tick + 1,
+            x9=x9,
+            com_xy_int=com_xy_int,
+            base_rot=base_rot,
+            base_pos=base_pos,
+            q=q,
+        )
+        stage_now = C.mpc_stage_params(s.plan, s.t, 1, cfg.mpc.dt, cfg.mpc.n_slots)
+        tel = Telemetry(
+            com_mpc=com_des3,
+            dcom_mpc=dcom_des3,
+            ang_mom_mpc=x9[6:9],
+            com_meas=com_meas,
+            com_ik_target=jnp.concatenate([com_xy_int, (com_des3[2])[None]]),
+            zmp_des=s.zmp_des,
+            foot_pos_des=feet.pos,
+            foot_contact=feet.in_contact,
+            forces0=s.forces0,
+            q=q,
+            base_pos=base_pos,
+            base_est_pos=base_est_p,
+            fixed_foot_idx=ff.index.astype(s.t.dtype),
+            mpc_cost=s.mpc_cost,
+            mpc_prim=s.mpc_prim,
+            adjusted_step=stage_now.slot_pos_nom,
+        )
+        return s2, tel
+
+    # -- the step + episode ------------------------------------------------------
+
+    def step(self, s: LoopState, inp: TickInput) -> tuple[LoopState, Telemetry]:
+        is_mpc_tick = (s.tick % self.cfg.mpc_every) == 0
+        s = jax.lax.cond(
+            is_mpc_tick, lambda ss: self._mpc_stage(ss, inp), lambda ss: ss, s
+        )
+        return self._wbc_stage(s, inp)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_episode(self, s0: LoopState, inputs: TickInput):
+        """inputs: TickInput with a leading [S] axis. Returns (final state,
+        stacked Telemetry)."""
+        return jax.lax.scan(self.step, s0, inputs)
+
+
+def constant_inputs(S: int, joypad=(0.0, 0.0, 1.0, 0.0), dtype=jnp.float32) -> TickInput:
+    return TickInput(
+        joypad=jnp.broadcast_to(jnp.asarray(joypad, dtype), (S, 4)),
+        ext_force=jnp.zeros((S, 3), dtype),
+        ext_torque=jnp.zeros((S, 3), dtype),
+    )

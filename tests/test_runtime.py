@@ -1,0 +1,96 @@
+"""Closed-loop runtime tests (BASELINE configs 3-4)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmw_tpu.core import kinematics as kin
+from cmw_tpu.mann.network import load_mann_weights
+from cmw_tpu.runtime import telemetry
+from cmw_tpu.runtime.config import ergocub_gazebo_v1
+from cmw_tpu.runtime.loop import TickInput, WalkingController, constant_inputs
+
+MANN4 = (
+    "/root/reference/src/centroidal-mpc-walking/config/robots/ergoCubGazeboV1/"
+    "onnx_50_mann4_smaller_steps.onnx"
+)
+
+
+@pytest.fixture(scope="module")
+def ctl():
+    model = kin.ergocub_approx()
+    weights = load_mann_weights(MANN4)
+    return WalkingController(ergocub_gazebo_v1(), model, weights)
+
+
+def test_closed_loop_walk_forward(ctl):
+    """MANN-guided MPC walk: finite, contact-consistent, tracks, advances."""
+    S = 900  # 1.8 s
+    sN, tel = ctl.run_episode(ctl.initial_state(), constant_inputs(S, (1.0, 0.0, 1.0, 0.0)))
+    com = np.asarray(tel.com_mpc)
+    assert np.isfinite(com).all()
+    assert np.isfinite(np.asarray(tel.q)).all()
+    # at least one foot planned in contact at all times
+    nact = np.asarray(tel.foot_contact).sum(1)
+    assert nact.min() >= 1.0
+    # the robot moves forward
+    assert com[-1, 0] - com[0, 0] > 0.2
+    # IK tracks the plant CoM
+    err = np.abs(com - np.asarray(tel.com_meas))
+    assert err[:, 0:2].max() < 0.06, err.max(0)
+    # MPC stays feasible
+    assert float(np.asarray(tel.mpc_prim).max()) < 5e-2
+    # feet alternate
+    fc = np.asarray(tel.foot_contact)
+    assert np.abs(np.diff(fc[:, 0])).sum() >= 3
+
+
+def test_closed_loop_push_recovery(ctl):
+    """Lateral push pulse: bounded response + step adjustment reacts."""
+    S = 900
+    base = constant_inputs(S, (0.6, 0.0, 1.0, 0.0))
+    push = jnp.zeros((S, 3)).at[300:500, 1].set(1.5)  # 0.4 s lateral shove
+    inputs = base._replace(ext_force=push)
+    sN, tel = ctl.run_episode(ctl.initial_state(), inputs)
+    com = np.asarray(tel.com_mpc)
+    assert np.isfinite(com).all()
+    # bounded lateral deviation (doesn't fall over)
+    assert np.abs(com[:, 1]).max() < 0.6
+    # response actually happened
+    sN0, tel0 = ctl.run_episode(ctl.initial_state(), base)
+    com0 = np.asarray(tel0.com_mpc)
+    assert np.abs(com[:, 1] - com0[:, 1]).max() > 0.01
+    # adjusted footsteps differ from the unpushed run during/after the push
+    d = np.abs(np.asarray(tel.adjusted_step) - np.asarray(tel0.adjusted_step))
+    assert d[300:, :, :, 1].max() > 5e-3
+
+
+def test_episode_vmappable(ctl):
+    """Batched scenarios (the dist/ sweep building block)."""
+    S, B = 240, 3
+    base = constant_inputs(S, (0.8, 0.0, 1.0, 0.0))
+    pushes = jnp.stack([jnp.zeros((S, 3)).at[100:160, 1].set(0.5 * i) for i in range(B)])
+    binputs = jax.vmap(lambda p: base._replace(ext_force=p))(pushes)
+    s0 = ctl.initial_state()
+    s0b = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), s0)
+    fn = jax.jit(jax.vmap(lambda s, i: ctl.run_episode(s, i)))
+    sN, tel = fn(s0b, binputs)
+    assert tel.com_mpc.shape == (B, S, 3)
+    assert np.isfinite(np.asarray(tel.com_mpc)).all()
+
+
+def test_telemetry_roundtrip(ctl):
+    S = 120
+    sN, tel = ctl.run_episode(ctl.initial_state(), constant_inputs(S))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ep.npz")
+        telemetry.save(path, tel, ctl.cfg.wbc_dt, extra={"note": "test"})
+        chans, meta = telemetry.load(path)
+    assert meta["ticks"] == S
+    assert meta["note"] == "test"
+    np.testing.assert_allclose(chans["com_mpc"], np.asarray(tel.com_mpc))
+    assert "zmp_des" in meta["schema"]
