@@ -50,16 +50,24 @@ def main():
     # pulling a scalar to the host is the reliable sync.
     sync = lambda out: float(out.cost.sum())
 
-    # --- single-solve latency (host round-trip included) ----------------------
-    warm = solver.cold_start()
-    single = jax.jit(lambda p, w: solver.solve(p, w))
-    sync(single(base, warm))
+    # --- single-solve on-device latency: chain K warm-started solves in one
+    # dispatch (receding-horizon shape), divide out the tunnel round-trip ----
+    K = 10
+
+    def chain(warm, _):
+        sol = solver.solve(base, warm)
+        return solver.warm_from(base, sol), sol.cost
+
+    chained = jax.jit(lambda w: jax.lax.scan(chain, w, None, length=K)[1])
+    w0 = solver.cold_start()
+    float(chained(w0).sum())
     lat = []
-    for _ in range(30):
+    for _ in range(20):
         t = time.perf_counter()
-        sync(single(base, warm))
-        lat.append(time.perf_counter() - t)
+        float(chained(w0).sum())
+        lat.append((time.perf_counter() - t) / K)
     lat = np.array(lat)
+    warm = solver.cold_start()
 
     # --- batched throughput ---------------------------------------------------
     B = 512

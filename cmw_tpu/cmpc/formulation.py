@@ -76,8 +76,8 @@ class MPCConfig:
     # SQP / ADMM iteration counts (fixed trip counts; the reference's
     # real-robot mode runs early-terminated SQP with 6 QP iterations,
     # ergoCubSN000/centroidal_mpc.ini:15)
-    sqp_iters: int = 3
-    admm_iters: int = 40
+    sqp_iters: int = 2
+    admm_iters: int = 24
     # per-block ADMM penalties, matched to the Hessian scale of the rows they
     # act on (static stand-in for OSQP's adaptive rho; fixed trip counts)
     admm_rho: float = 10.0  # force identity + cone rows
@@ -86,6 +86,10 @@ class MPCConfig:
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6
     levenberg: float = 1e-7
+    # Factorize the GN KKT matrix once per solve (quasi-Newton: later SQP
+    # iterations reuse the first Hessian with exact gradients) instead of
+    # per iteration. ~3x fewer factorizations; the bench/runtime default.
+    refactor_every_sqp: bool = False
 
     @property
     def T(self) -> int:

@@ -112,15 +112,33 @@ class CentroidalMPCSolver:
         zc0 = jnp.where(warm.valid > 0, warm.slack, jnp.clip(matvec(z0), l, u))
         y0 = jnp.where(warm.valid > 0, warm.dual, jnp.zeros_like(warm.dual))
 
-        def sqp_iter(carry, _):
-            z, zc, y = carry
+        eye = jnp.eye(cfg.n_vars, dtype=dtype)
+
+        def gauss_newton(z):
             r = res_fn(z)
             J = jax.jacfwd(res_fn)(z)
             g = J.T @ r
-            H = J.T @ J + cfg.levenberg * jnp.eye(cfg.n_vars, dtype=dtype)
+            H = J.T @ J + cfg.levenberg * eye
+            return g, H
+
+        grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
+
+        if not cfg.refactor_every_sqp:
+            # quasi-Newton: one factorization per solve; later iterations
+            # reuse H0 with exact gradients (one reverse-mode pass each),
+            # keeping the fixed point correct
+            _, H0 = gauss_newton(z0)
+            minv0 = spd_inverse(H0 + cfg.admm_sigma * eye + ata)
+
+        def sqp_iter(carry, _):
+            z, zc, y = carry
+            if cfg.refactor_every_sqp:
+                g, H = gauss_newton(z)
+                minv = spd_inverse(H + cfg.admm_sigma * eye + ata)
+            else:
+                g, H = grad_fn(z), H0
+                minv = minv0
             q = g - H @ z
-            M = H + cfg.admm_sigma * jnp.eye(cfg.n_vars, dtype=dtype) + ata
-            minv = spd_inverse(M)
             state, prim = admm_solve(
                 minv,
                 q,
