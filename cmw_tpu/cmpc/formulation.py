@@ -90,6 +90,10 @@ class MPCConfig:
     # iterations reuse the first Hessian with exact gradients) instead of
     # per iteration. ~3x fewer factorizations; the bench/runtime default.
     refactor_every_sqp: bool = False
+    # KKT inverse implementation: "auto" = Pallas block-LDL kernel on TPU,
+    # XLA cholesky elsewhere; "pallas" / "xla" force one.
+    inverse_impl: str = "auto"
+    ns_iters: int = 12  # Newton-Schulz pivot-inverse iterations (pallas path)
 
     @property
     def T(self) -> int:

@@ -27,6 +27,18 @@ from cmw_tpu.cmpc import formulation as F
 from cmw_tpu.cmpc.qp import ADMMState, admm_solve, spd_inverse
 
 
+def _inverse_fn(cfg):
+    """Select the KKT-inverse implementation (trace-time decision)."""
+    impl = cfg.inverse_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from cmw_tpu.ops.spd_inverse import spd_inverse_pallas
+
+        return lambda M: spd_inverse_pallas(M[None], ns_iters=cfg.ns_iters)[0]
+    return spd_inverse
+
+
 class MPCSolution(NamedTuple):
     forces: jnp.ndarray  # [T, nc, ncor, 3] world-frame corner forces / mass
     positions: jnp.ndarray  # [nc, K, 3] adjusted contact positions
@@ -123,18 +135,19 @@ class CentroidalMPCSolver:
 
         grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
 
+        inv = _inverse_fn(cfg)
         if not cfg.refactor_every_sqp:
             # quasi-Newton: one factorization per solve; later iterations
             # reuse H0 with exact gradients (one reverse-mode pass each),
             # keeping the fixed point correct
             _, H0 = gauss_newton(z0)
-            minv0 = spd_inverse(H0 + cfg.admm_sigma * eye + ata)
+            minv0 = inv(H0 + cfg.admm_sigma * eye + ata)
 
         def sqp_iter(carry, _):
             z, zc, y = carry
             if cfg.refactor_every_sqp:
                 g, H = gauss_newton(z)
-                minv = spd_inverse(H + cfg.admm_sigma * eye + ata)
+                minv = inv(H + cfg.admm_sigma * eye + ata)
             else:
                 g, H = grad_fn(z), H0
                 minv = minv0
