@@ -21,6 +21,12 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--robot", default="ergoCubGazeboV1", choices=["ergoCubGazeboV1", "ergoCubSN000"])
     p.add_argument(
+        "--robot-dir",
+        default=None,
+        help="load the WalkingConfig from a reference-style ini config dir "
+        "(e.g. .../config/robots/ergoCubGazeboV1); overrides --robot",
+    )
+    p.add_argument(
         "--mann",
         default=(
             "/root/reference/src/centroidal-mpc-walking/config/robots/"
@@ -47,7 +53,12 @@ def main(argv=None):
     from cmw_tpu.runtime.config import ergocub_gazebo_v1, ergocub_sn000
     from cmw_tpu.runtime.loop import TickInput, WalkingController
 
-    cfg = ergocub_gazebo_v1() if args.robot == "ergoCubGazeboV1" else ergocub_sn000()
+    if args.robot_dir:
+        from cmw_tpu.runtime.ini import load_robot_config
+
+        cfg = load_robot_config(args.robot_dir)
+    else:
+        cfg = ergocub_gazebo_v1() if args.robot == "ergoCubGazeboV1" else ergocub_sn000()
     if args.urdf:
         from cmw_tpu.core.kinematics import ERGOCUB_JOINTS, parse_urdf
 

@@ -1,0 +1,66 @@
+"""Config-system tests: ini dialect + loading the reference's own files."""
+
+import os
+
+import pytest
+
+from cmw_tpu.runtime.ini import load_robot_config, parse_ini
+
+REF = "/root/reference/src/centroidal-mpc-walking/config/robots"
+
+
+def test_parse_dialect(tmp_path):
+    p = tmp_path / "a.ini"
+    q = tmp_path / "b.ini"
+    q.write_text("inner_key 5\n")
+    p.write_text(
+        """
+top_str "hello"
+top_num 0.25
+top_tuple (1.0, 2.0, 3.0)
+sloppy_tuple (-0.08 0.01, 0.0)   # missing comma, as in the reference
+multi_line (a, b,
+            c)
+flag true
+
+[GROUP_A]
+x 1
+y (2, 3)
+
+[include INC "./b.ini"]
+after_include 7
+"""
+    )
+    d = parse_ini(str(p))
+    assert d["top_str"] == "hello"
+    assert d["top_num"] == 0.25
+    assert d["top_tuple"] == (1.0, 2.0, 3.0)
+    assert d["sloppy_tuple"] == (-0.08, 0.01, 0.0)
+    assert d["multi_line"] == ("a", "b", "c")
+    assert d["flag"] is True
+    assert d["GROUP_A"]["x"] == 1 and d["GROUP_A"]["y"] == (2, 3)
+    assert d["INC"]["inner_key"] == 5
+    assert d["after_include"] == 7  # include closes the open group
+
+
+@pytest.mark.parametrize("robot", sorted(os.listdir(REF)))
+def test_load_every_reference_robot(robot):
+    cfg = load_robot_config(os.path.join(REF, robot))
+    assert 0.01 <= cfg.mpc.dt <= 0.2
+    assert cfg.mpc.T >= 10
+    assert cfg.mpc.mu > 0
+    assert cfg.mpc_every == round(cfg.mpc.dt / cfg.wbc_dt)
+
+
+def test_reference_values_verbatim():
+    cfg = load_robot_config(os.path.join(REF, "ergoCubGazeboV1"))
+    assert cfg.mpc.com_weight == (10.0, 10.0, 200.0)
+    assert cfg.mpc.contact_position_weight == 2000.0
+    assert cfg.mpc.angular_momentum_weight == 100.0
+    assert cfg.mpc.bbox_upper == ((0.01, 0.05, 0.0), (0.01, 0.0, 0.0))
+    assert cfg.mpc.corners[1][2] == (-0.08, -0.01, 0.0)
+    assert cfg.gains.com_gain == (4.0, 4.0)
+    assert cfg.swing.step_height == 0.035
+    assert cfg.input_builder.ellipsoid_forward_axis == 3.0
+    cfg2 = load_robot_config(os.path.join(REF, "ergoCubSN000"))
+    assert cfg2.mpc.dt == 0.1 and cfg2.mpc.horizon == 1.3
