@@ -38,6 +38,21 @@ def main(argv=None):
     p.add_argument("--push", default=None, help="t0,t1,fx,fy,fz external push window")
     p.add_argument("--out", default="walk_telemetry.npz")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="drive with the terminal joypad on the native real-time scheduler "
+        "(the reference's cmw-FakeJoypad + AdvanceableRunner mode)",
+    )
+    p.add_argument(
+        "--time-scale",
+        type=float,
+        default=0.05,
+        help="interactive virtual-clock rate vs wall time (the Gazebo "
+        "real_time_factor analog, worlds/*/world:7)",
+    )
+    p.add_argument("--save-state", default=None, help="write a loop-state checkpoint here")
+    p.add_argument("--resume-state", default=None, help="resume from a loop-state checkpoint")
     args = p.parse_args(argv)
 
     import jax
@@ -72,6 +87,33 @@ def main(argv=None):
         model = kin.ergocub_approx()
     ctl = WalkingController(cfg, model, load_mann_weights(args.mann))
 
+    if args.interactive:
+        from cmw_tpu.apps.joypad import TerminalJoypad
+        from cmw_tpu.runtime.realtime import RealtimeWalker
+
+        rw = RealtimeWalker(ctl, time_scale=args.time_scale)
+        if args.resume_state:
+            from cmw_tpu.runtime import checkpoint
+
+            rw.state = checkpoint.load(args.resume_state, rw.state)
+        jp = TerminalJoypad(rw.set_joypad)
+        jp.start()
+        print(
+            "interactive walk: w/s fwd/back, a/d left/right, q/e yaw, "
+            "space stop, x quit (Ctrl-C to end)",
+            flush=True,
+        )
+        try:
+            stats = rw.run(args.seconds / args.time_scale, install_signals=True)
+        finally:
+            jp.stop()
+        if args.save_state:
+            from cmw_tpu.runtime import checkpoint
+
+            checkpoint.save(args.save_state, rw.state, meta={"t": float(rw.state.t)})
+        print(json.dumps(stats))
+        return
+
     S = int(round(args.seconds / cfg.wbc_dt))
     joy = np.zeros((S, 4), np.float32)
     segs = []
@@ -88,10 +130,19 @@ def main(argv=None):
     inputs = TickInput(
         joypad=jnp.asarray(joy), ext_force=jnp.asarray(ext), ext_torque=jnp.zeros((S, 3))
     )
+    s0 = ctl.initial_state()
+    if args.resume_state:
+        from cmw_tpu.runtime import checkpoint
+
+        s0 = checkpoint.load(args.resume_state, s0)
     t = time.perf_counter()
-    sN, tel = ctl.run_episode(ctl.initial_state(), inputs)
+    sN, tel = ctl.run_episode(s0, inputs)
     com = np.asarray(tel.com_mpc)  # also blocks
     wall = time.perf_counter() - t
+    if args.save_state:
+        from cmw_tpu.runtime import checkpoint
+
+        checkpoint.save(args.save_state, sN, meta={"t": float(sN.t)})
 
     telemetry.save(args.out, tel, cfg.wbc_dt, extra={"robot": args.robot})
     summary = {
