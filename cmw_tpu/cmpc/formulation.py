@@ -86,6 +86,12 @@ class MPCConfig:
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6
     levenberg: float = 1e-7
+    # SQP globalization: candidate steps are scaled by the best alpha under
+    # an l1-penalty merit (cost + merit_penalty * constraint violation);
+    # alpha 0 = reject. Prevents divergence of warm-started receding-horizon
+    # chains (full GN steps with a stale quasi-Newton Hessian can ratchet).
+    line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.0)
+    merit_penalty: float = 1e3
     # Factorize the GN KKT matrix once per solve (quasi-Newton: later SQP
     # iterations reuse the first Hessian with exact gradients) instead of
     # per iteration. ~3x fewer factorizations; the bench/runtime default.

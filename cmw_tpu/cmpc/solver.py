@@ -143,6 +143,14 @@ class CentroidalMPCSolver:
             _, H0 = gauss_newton(z0)
             minv0 = inv(H0 + cfg.admm_sigma * eye + ata)
 
+        def merit(zz):
+            r = res_fn(zz)
+            az = matvec(zz)
+            viol = jnp.maximum(az - u, 0.0) + jnp.maximum(l - az, 0.0)
+            return 0.5 * jnp.sum(r * r) + cfg.merit_penalty * jnp.sum(viol)
+
+        alphas = jnp.asarray(cfg.line_search_alphas, dtype)
+
         def sqp_iter(carry, _):
             z, zc, y = carry
             if cfg.refactor_every_sqp:
@@ -165,7 +173,12 @@ class CentroidalMPCSolver:
                 sigma=cfg.admm_sigma,
                 alpha=cfg.admm_alpha,
             )
-            return (state.x, state.zc, state.y), prim
+            # globalization: scale the step by the merit-minimizing alpha
+            # (alpha 0 = keep z; guarantees monotone merit inside a solve)
+            dz = state.x - z
+            merits = jax.vmap(lambda a: merit(z + a * dz))(alphas)
+            a_best = alphas[jnp.argmin(merits)]
+            return (z + a_best * dz, state.zc, state.y), prim
 
         (z, zc, y), prims = jax.lax.scan(
             sqp_iter, (z0, zc0, y0), None, length=cfg.sqp_iters

@@ -60,6 +60,16 @@ class GeneratorConfig:
     off_threshold: float = 0.01
     switch_on_after: float = 0.04
     switch_off_after: float = 0.04
+    # foot-corner offsets in the sole frame for contact detection
+    # (mann.ini [LEFT_FOOT]/[RIGHT_FOOT] corner_k; the detector is
+    # per-corner in the reference, so a foot rolling over heel or toe
+    # stays in contact as long as its lowest corner is down)
+    corners: tuple = (
+        (0.08, 0.03, 0.0),
+        (0.08, -0.03, 0.0),
+        (-0.08, -0.03, 0.0),
+        (-0.08, 0.03, 0.0),
+    )
     # blending of desired vs predicted future trajectory
     desired_blend: float = 0.5
 
@@ -242,7 +252,16 @@ def step(
     lR, lp = kin.fk(model, q_new, lie.rotz(base_yaw), base_pos)
     fR, fp = kin.frame_poses(model, lR, lp)
     li, ri = model.frame_index("l_sole"), model.frame_index("r_sole")
-    sole_z = jnp.stack([fp[li, 2], fp[ri, 2]])
+    # lowest-corner height per foot (per-corner triggers, mann.ini:33-55):
+    # corner world z = sole z + (R_sole @ offset)_z
+    offs = jnp.asarray(cfg.corners, x.dtype)  # [4,3]
+    corner_z = jnp.stack(
+        [
+            fp[li, 2] + (fR[li] @ offs.T)[2],
+            fp[ri, 2] + (fR[ri] @ offs.T)[2],
+        ]
+    )  # [2,4]
+    sole_z = corner_z.min(axis=1)
     raw = jnp.where(
         s.contact > 0, (sole_z < cfg.off_threshold), (sole_z < cfg.on_threshold)
     ).astype(s.contact.dtype)

@@ -12,6 +12,7 @@ import dataclasses
 from cmw_tpu.cmpc.formulation import MPCConfig
 from cmw_tpu.mann.generator import GeneratorConfig
 from cmw_tpu.mann.input_builder import InputBuilderConfig
+from cmw_tpu.sim.plant import PlantConfig
 from cmw_tpu.wbc.com_zmp import CoMZMPGains
 from cmw_tpu.wbc.diff_ik import IKConfig
 from cmw_tpu.wbc.swing_foot import SwingFootConfig
@@ -27,13 +28,15 @@ class WalkingConfig:
     swing: SwingFootConfig = SwingFootConfig()
     gains: CoMZMPGains = CoMZMPGains()
     input_builder: InputBuilderConfig = InputBuilderConfig()
+    plant: PlantConfig = PlantConfig()  # default: ideal (adherent) plant
     wbc_dt: float = 0.002  # WHOLE_BODY_RUNNER sampling_time
     plan_phases: int = 16
     # CoM-height reference override (CentroidalMPCBlock.cpp:531-534 pins it
-    # to 0.7 m for ergoCub; None -> slightly below the initial CoM height,
-    # which suits the built-in approximate model)
+    # to 0.7 m for ergoCub — ~4 cm below the natural standing height, a
+    # deliberate squat that keeps the gait's vertical excursions within leg
+    # reach; None -> the same squat relative to the model's standing CoM)
     com_height_override: float | None = None
-    com_height_drop: float = 0.02
+    com_height_drop: float = 0.05
 
     @property
     def mpc_every(self) -> int:

@@ -40,6 +40,7 @@ from cmw_tpu.core.integrators import rk4_step
 from cmw_tpu.core.splines import linear_spline
 from cmw_tpu.estimation import fixed_foot, legged_odom
 from cmw_tpu.mann import generator as G
+from cmw_tpu.sim import plant as P
 from cmw_tpu.mann.input_builder import build_desired_trajectory
 from cmw_tpu.mann.network import MANNWeights
 from cmw_tpu.runtime.config import WalkingConfig
@@ -70,6 +71,7 @@ class LoopState(NamedTuple):
     com_z_ref: jnp.ndarray  # [] height reference
     mpc_cost: jnp.ndarray  # [] last solve diagnostics
     mpc_prim: jnp.ndarray  # []
+    plant: P.PlantState  # simulated robot (servo lag + sensor RNG)
 
 
 class TickInput(NamedTuple):
@@ -167,6 +169,7 @@ class WalkingController:
             com_z_ref=jnp.asarray(com_z_ref, dtype),
             mpc_cost=jnp.zeros((), dtype),
             mpc_prim=jnp.zeros((), dtype),
+            plant=P.initial_state(cfg.plant, q0),
         )
 
     # -- MPC + MANN stage (every cfg.mpc_every ticks) ---------------------------
@@ -220,13 +223,16 @@ class WalkingController:
 
         # 6. solve the MPC from the integrated state (adherent loop)
         stage = C.mpc_stage_params(plan, s.t, mpc.T, mpc.dt, mpc.n_slots)
+        # measured external wrench with the same 0.7 N deadband the WBC
+        # applies before forwarding it (WholeBodyQPBlock.cpp:1018-1021)
+        ext_f, ext_tau = P.deadband_wrench(inp.ext_force, inp.ext_torque, self.mass)
         params = F.MPCParams(
             x0=s.x9,
             com_ref=com_ref,
             ang_mom_ref=L_ref,
             stage=stage,
-            ext_force=inp.ext_force,
-            ext_torque=inp.ext_torque,
+            ext_force=ext_f,
+            ext_torque=ext_tau,
         )
         sol = self.solver.solve(params, s.warm)
         warm = self.solver.warm_from(params, sol)
@@ -259,23 +265,42 @@ class WalkingController:
         cfg, model = self.cfg, self.model
         dt = cfg.wbc_dt
 
-        # estimation: fixed foot + legged odometry on the commanded joints
+        pcfg = cfg.plant
+
+        # plant: actual joints track the PositionDirect stream (servo lag),
+        # encoders read them with noise; with the default ideal plant this
+        # reduces to q_meas == commanded q
+        ps = P.servo_step(pcfg, s.plant, s.q, dt)
+        q_meas, _dq_meas, ps = P.read_joints(pcfg, ps)
+
+        # estimation: fixed foot + legged odometry on the measured joints
         ff = fixed_foot.detect(s.plan, s.t)
         odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
-        base_est_R, base_est_p = legged_odom.base_pose(model, odo, s.q)
+        base_est_R, base_est_p = legged_odom.base_pose(model, odo, q_meas)
+
+        # measured external wrench, deadbanded below 0.7 N
+        # (WholeBodyQPBlock.cpp:1018-1021)
+        ext_f, ext_tau = P.deadband_wrench(inp.ext_force, inp.ext_torque, self.mass)
 
         # centroidal integrator under held MPC forces (+ measured push)
         dyn = lambda x: centroidal_dynamics(
-            x, s.forces0, s.corner0, s.active0, inp.ext_force, inp.ext_torque
+            x, s.forces0, s.corner0, s.active0, ext_f, ext_tau
         )
         x9 = rk4_step(dyn, s.x9, dt)
         com_des3, dcom_des3 = x9[0:3], x9[3:6]
 
-        # measured CoM (FK of the commanded robot) + measured ZMP (ideal
-        # plant: applied forces realize the desired ZMP)
-        lR, lp = kin.fk(model, s.q, s.base_rot, s.base_pos)
+        # measured CoM: FK of the estimated robot state (the reference's
+        # kinDynWithMeasured, WholeBodyQPBlock.cpp:950-991)
+        lR, lp = kin.fk(model, q_meas, base_est_R, base_est_p)
         com_meas = kin.com(model, lR, lp)
-        zmp_meas = s.zmp_des
+        # measured ZMP from the wrench sensors (evaluateZMP, :737-803);
+        # noise-free sensors realize the desired ZMP exactly
+        if pcfg.wrench_noise > 0.0:
+            zmp_meas, ps = P.read_zmp(
+                pcfg, ps, s.forces0, s.corner0, s.corner0.mean(axis=1)
+            )
+        else:
+            zmp_meas = s.zmp_des
 
         v_cmd = com_zmp_control(
             dcom_des3[0:2],
@@ -316,6 +341,7 @@ class WalkingController:
             base_rot=base_rot,
             base_pos=base_pos,
             q=q,
+            plant=ps,
         )
         stage_now = C.mpc_stage_params(s.plan, s.t, 1, cfg.mpc.dt, cfg.mpc.n_slots)
         tel = Telemetry(
