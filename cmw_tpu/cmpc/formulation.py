@@ -99,6 +99,12 @@ class MPCConfig:
     # KKT inverse implementation: "auto" = Pallas block-LDL kernel on TPU,
     # XLA cholesky elsewhere; "pallas" / "xla" force one.
     inverse_impl: str = "auto"
+    # ADMM loop implementation: "xla" = the matrix-free batched scan in
+    # qp.py (bandwidth-parallel across the batch — the measured winner on
+    # single-core v5e); "fused" = Pallas kernel with minv + dense A
+    # VMEM-resident across all iterations (ops/admm_fused.py — wins only
+    # when grid cells can spread over cores). "auto" = xla.
+    admm_impl: str = "auto"
     ns_iters: int = 12  # Newton-Schulz pivot-inverse iterations (pallas path)
 
     @property
@@ -205,7 +211,11 @@ def rollout(cfg: MPCConfig, params: MPCParams, forces, positions):
         x_next = x + cfg.dt * dx
         return x_next, x_next
 
-    _, xs = jax.lax.scan(step, params.x0, (forces, corner_k, active_k))
+    # T=20 steps of tiny ops: full unroll lets XLA fuse across steps (the
+    # scan body alone is latency-bound; measured ~4% whole-solve win on v5e)
+    _, xs = jax.lax.scan(
+        step, params.x0, (forces, corner_k, active_k), unroll=cfg.T
+    )
     return jnp.concatenate([params.x0[None], xs], axis=0)
 
 
@@ -306,6 +316,61 @@ def constraint_bounds(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32):
     u = jnp.concatenate([u1.reshape(-1), u2.reshape(-1), u3.reshape(-1)])
     rho = jnp.concatenate([rho1.reshape(-1), rho2.reshape(-1), rho3.reshape(-1)])
     return l, u, rho
+
+
+def constraint_dense(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32):
+    """Materialize A as a dense [m, n] matrix.
+
+    A is block-local in 3-wide variable groups (each corner force / slot
+    position touches only its own rows), so the dense form is a cheap block
+    scatter. Used by the fused Pallas ADMM kernel (ops/admm_fused.py), which
+    keeps A VMEM-resident across all iterations — there the dense GEMV beats
+    the structured einsum matvec because nothing ever revisits HBM.
+    """
+    T, nc, ncor, K = cfg.T, cfg.n_contacts, cfg.n_corners, cfg.n_slots
+    tcc = T * nc * ncor
+    tcc3 = cfg.n_forces
+    tcc5 = tcc * 5
+    n, m = cfg.n_vars, cfg.n_con
+
+    _, rot_k, _ = interval_contact_geometry(
+        cfg, stage, jnp.zeros((nc, K, 3), dtype)
+    )
+    D = cfg.cone_matrix(dtype)
+    # cone block per (t,i): D R^T [5,3] (same for every corner j)
+    C = jnp.einsum("da,tica->tidc", D, rot_k)  # [T,nc,5,3]
+    blocks_cone = jnp.broadcast_to(C[:, :, None], (T, nc, ncor, 5, 3)).reshape(
+        tcc, 5, 3
+    )
+    # position block per (i,s): R^T — entry [a,b] = R[b,a]
+    blocks_pos = jnp.swapaxes(stage.slot_rot.reshape(-1, 3, 3), -1, -2)
+
+    A = jnp.zeros((m, n), dtype)
+    idf = np.arange(tcc3)
+    A = A.at[idf, idf].set(1.0)
+
+    rows_c = tcc3 + (
+        np.arange(tcc)[:, None, None] * 5 + np.arange(5)[None, :, None]
+    ) * np.ones((1, 1, 3), np.int32)
+    cols_c = (
+        np.arange(tcc)[:, None, None] * 3 + np.arange(3)[None, None, :]
+    ) * np.ones((1, 5, 1), np.int32)
+    A = A.at[rows_c.astype(np.int32), cols_c.astype(np.int32)].set(blocks_cone)
+
+    nslot = nc * K
+    rows_p = (
+        tcc3
+        + tcc5
+        + np.arange(nslot)[:, None, None] * 3
+        + np.arange(3)[None, :, None] * np.ones((1, 1, 3), np.int64)
+    )
+    cols_p = (
+        tcc3
+        + np.arange(nslot)[:, None, None] * 3
+        + np.arange(3)[None, None, :] * np.ones((1, 3, 1), np.int64)
+    )
+    A = A.at[rows_p.astype(np.int32), cols_p.astype(np.int32)].set(blocks_pos)
+    return A
 
 
 def ata_blockdiag(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32):

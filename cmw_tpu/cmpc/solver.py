@@ -39,6 +39,17 @@ def _inverse_fn(cfg):
     return spd_inverse
 
 
+def _admm_impl(cfg) -> str:
+    impl = cfg.admm_impl
+    if impl == "auto":
+        # measured on v5e: the batched XLA scan (bandwidth-parallel across
+        # the batch) beats the fused per-item Pallas kernel, whose grid
+        # cells serialize 24 small GEMVs each on the single core; keep the
+        # fused kernel opt-in for future multi-core parts
+        impl = "xla"
+    return impl
+
+
 class MPCSolution(NamedTuple):
     forces: jnp.ndarray  # [T, nc, ncor, 3] world-frame corner forces / mass
     positions: jnp.ndarray  # [nc, K, 3] adjusted contact positions
@@ -151,6 +162,35 @@ class CentroidalMPCSolver:
 
         alphas = jnp.asarray(cfg.line_search_alphas, dtype)
 
+        admm_impl = _admm_impl(cfg)
+        if admm_impl == "fused":
+            from cmw_tpu.ops.admm_fused import admm_fused_pallas
+
+            A_dense = F.constraint_dense(cfg, stage, dtype)
+            interp = jax.default_backend() not in ("tpu",)
+
+            def run_admm(minv, q, z, zc, y):
+                x, zcn, yn = admm_fused_pallas(
+                    minv[None], A_dense[None], q[None], l[None], u[None],
+                    rho[None], z[None], zc[None], y[None],
+                    iters=cfg.admm_iters, sigma=cfg.admm_sigma,
+                    alpha=cfg.admm_alpha, interpret=interp,
+                )
+                state = ADMMState(x[0], zcn[0], yn[0])
+                prim = jnp.max(jnp.abs(matvec(state.x) - state.zc))
+                return state, prim
+
+        else:
+
+            def run_admm(minv, q, z, zc, y):
+                return admm_solve(
+                    minv, q, matvec, rmatvec, l, u, rho,
+                    ADMMState(z, zc, y),
+                    iters=cfg.admm_iters,
+                    sigma=cfg.admm_sigma,
+                    alpha=cfg.admm_alpha,
+                )
+
         def sqp_iter(carry, _):
             z, zc, y = carry
             if cfg.refactor_every_sqp:
@@ -160,19 +200,7 @@ class CentroidalMPCSolver:
                 g, H = grad_fn(z), H0
                 minv = minv0
             q = g - H @ z
-            state, prim = admm_solve(
-                minv,
-                q,
-                matvec,
-                rmatvec,
-                l,
-                u,
-                rho,
-                ADMMState(z, zc, y),
-                iters=cfg.admm_iters,
-                sigma=cfg.admm_sigma,
-                alpha=cfg.admm_alpha,
-            )
+            state, prim = run_admm(minv, q, z, zc, y)
             # globalization: scale the step by the merit-minimizing alpha
             # (alpha 0 = keep z; guarantees monotone merit inside a solve)
             dz = state.x - z

@@ -1,0 +1,146 @@
+"""Fused fixed-iteration ADMM — Pallas TPU kernel.
+
+The XLA ADMM loop (cmpc/qp.py `admm_solve`) re-reads the [n, n] KKT inverse
+from HBM on every iteration: with n=504 and 24 iterations that is ~25 MB of
+HBM traffic per scenario per SQP iteration — the single largest cost in the
+batched solve (measured ~1.5 ms/iteration for a 512-batch on v5e).
+
+This kernel runs ALL iterations inside one grid cell with the KKT inverse
+`minv` [n, n] and the densified constraint matrix `A` [m, n]
+(formulation.constraint_dense) VMEM-resident, so each matrix is read from
+HBM exactly once per solve. Per iteration the update is two A-GEMVs and one
+minv-GEMV plus elementwise clip/dual steps (the OSQP-style scheme of
+qp.admm_solve, bit-for-bit the same math):
+
+    rhs = sigma x - q + A^T (rho zc - y)
+    x   = minv rhs
+    ax  = A x
+    zh  = alpha ax + (1-alpha) zc
+    zc  = clip(zh + y/rho, l, u)
+    y   = y + rho (zh - zc)
+
+Shapes are padded to lane multiples (128) at the call site; all padding is
+zeros (pad rho_inv = 0) so padded entries stay identically zero through the
+iteration. Batched via the grid; `jax.vmap` of the wrapper adds a grid axis.
+
+Replaces the inner QP loop of the reference's CasADi `sqpmethod` / osqp
+(centroidal_mpc.ini:13-15) on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def _kernel(iters, sigma, alpha, minv_ref, a_ref, q_ref, l_ref, u_ref,
+            rho_ref, rinv_ref, x0_ref, zc0_ref, y0_ref,
+            x_out, zc_out, y_out):
+    Minv = minv_ref[0]  # [np, np] (symmetric)
+    A = a_ref[0]  # [mp, np]
+    q = q_ref[...]  # [1, np]
+    l = l_ref[...]  # [1, mp]
+    u = u_ref[...]
+    rho = rho_ref[...]
+    rinv = rinv_ref[...]
+
+    def body(_, carry):
+        x, zc, y = carry  # [1, np], [1, mp], [1, mp]
+        w = rho * zc - y
+        atw = jax.lax.dot_general(
+            w, A, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, np]
+        rhs = sigma * x - q + atw
+        x = jax.lax.dot_general(
+            rhs, Minv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, np] (Minv symmetric)
+        ax = jax.lax.dot_general(
+            x, A, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, mp]
+        zh = alpha * ax + (1.0 - alpha) * zc
+        zc = jnp.clip(zh + y * rinv, l, u)
+        y = y + rho * (zh - zc)
+        return x, zc, y
+
+    x, zc, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[...], zc0_ref[...], y0_ref[...])
+    )
+    x_out[...] = x
+    zc_out[...] = zc
+    y_out[...] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
+)
+def admm_fused_pallas(minv, A, q, l, u, rho, x0, zc0, y0,
+                      iters: int, sigma: float = 1e-6, alpha: float = 1.6,
+                      interpret: bool = False):
+    """Run `iters` ADMM iterations fully on-chip.
+
+    minv [B, n, n], A [B, m, n], q/x0 [B, n], l/u/rho/zc0/y0 [B, m].
+    Returns (x, zc, y) with the original (unpadded) shapes.
+    """
+    B, n, _ = minv.shape
+    m = A.shape[1]
+    npad = ((n + LANE - 1) // LANE) * LANE
+    mpad = ((m + LANE - 1) // LANE) * LANE
+
+    minv = _pad_to(_pad_to(minv, npad, 1), npad, 2)
+    A = _pad_to(_pad_to(A, mpad, 1), npad, 2)
+    q = _pad_to(q, npad, 1)
+    x0 = _pad_to(x0, npad, 1)
+    l = _pad_to(l, mpad, 1)
+    u = _pad_to(u, mpad, 1)
+    rho_p = _pad_to(rho, mpad, 1)
+    # pad 1/rho with zeros so padded zc stays pinned at clip(0, 0, 0) = 0
+    rinv = _pad_to(1.0 / rho, mpad, 1)
+    zc0 = _pad_to(zc0, mpad, 1)
+    y0 = _pad_to(y0, mpad, 1)
+
+    vec_n = pl.BlockSpec((1, npad), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    vec_m = pl.BlockSpec((1, mpad), lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+    x, zc, y = pl.pallas_call(
+        functools.partial(_kernel, iters, sigma, alpha),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, npad), minv.dtype),
+            jax.ShapeDtypeStruct((B, mpad), minv.dtype),
+            jax.ShapeDtypeStruct((B, mpad), minv.dtype),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, npad, npad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, npad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec_n, vec_m, vec_m, vec_m, vec_m, vec_n, vec_m, vec_m,
+        ],
+        out_specs=(vec_n, vec_m, vec_m),
+        # minv (1 MB) + A (2.9 MB) double-buffered across grid cells plus the
+        # loop-carried vectors exceed the 16 MB default scoped-vmem budget;
+        # v5e/v5p have 128 MB physical VMEM, so raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(minv, A, q, l, u, rho_p, rinv, x0, zc0, y0)
+    return x[:, :n], zc[:, :m], y[:, :m]
