@@ -9,6 +9,7 @@ budget"); vs_baseline is our TPU solves/s relative to that.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -40,6 +41,10 @@ def make_params(cfg, plan, t0, push):
 
 
 def main():
+    # CMW_PROFILE=<dir>: capture a jax.profiler trace of the batched section
+    # (SURVEY §5.1 — the reference only has manual chrono spans; we get the
+    # full XLA op timeline).
+    profile_dir = os.environ.get("CMW_PROFILE", "")
     cfg = ergocub_mpc_config()
     solver = CentroidalMPCSolver(cfg)
     plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=8), cfg.dt)
@@ -87,6 +92,9 @@ def main():
     sync_b = lambda out: float(out.sum())
     sync_b(batched(warm_b))
     reps = 5
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            sync_b(batched(warm_b))
     t = time.perf_counter()
     for _ in range(reps):
         sync_b(batched(warm_b))
