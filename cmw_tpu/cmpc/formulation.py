@@ -105,7 +105,10 @@ class MPCConfig:
     # VMEM-resident across all iterations (ops/admm_fused.py — wins only
     # when grid cells can spread over cores). "auto" = xla.
     admm_impl: str = "auto"
-    ns_iters: int = 12  # Newton-Schulz pivot-inverse iterations (pallas path)
+    # Newton-Schulz pivot-inverse iterations (pallas path). Jacobi scaling
+    # normalizes the rho_eq=1e4 row spread, so NS converges to f32 epsilon
+    # by ~6 iterations even on the stiffest KKT blocks; 8 keeps margin.
+    ns_iters: int = 8
 
     @property
     def T(self) -> int:

@@ -72,16 +72,26 @@ def admm_solve(
     return state, prim_res
 
 
-def solve_eq_qp(H, g, A, b):
+def solve_eq_qp(H, g, A, b, dual_reg: float = 1e-6):
     """Dense equality-constrained QP via the KKT system:
         min 1/2 v^T H v - g^T v   s.t.  A v = b
     Used by the differential-IK layer (wbc/diff_ik.py). Returns v.
+
+    The dual block carries a -dual_reg*I proximal regularization: at
+    kinematic singularities (straight knees in the initial stance) the
+    constraint Jacobian loses rank and the exact KKT matrix is singular —
+    whether the LU hits the zero pivot then depends on fusion-level
+    rounding (observed: eager fine, scan-compiled NaN). The regularized
+    system stays uniformly invertible and perturbs feasible solutions by
+    O(dual_reg). 1e-6 also bounds the duals when the constraint rows turn
+    inconsistent at the singularity, which otherwise amplifies rounding
+    noise into ~0.2 rad null-space joint drift (measured; 1e-6 -> 1e-5).
     """
     n = H.shape[-1]
     m = A.shape[-2]
     dt = H.dtype
     KKT = jnp.block(
-        [[H, jnp.swapaxes(A, -1, -2)], [A, jnp.zeros((m, m), dt)]]
+        [[H, jnp.swapaxes(A, -1, -2)], [A, -dual_reg * jnp.eye(m, dtype=dt)]]
     )
     rhs = jnp.concatenate([g, b], axis=-1)
     sol = jnp.linalg.solve(KKT, rhs)

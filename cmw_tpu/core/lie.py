@@ -42,9 +42,12 @@ def so3_exp(w):
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos t)/t^2 with series fallback
+    # sin(t)/t and (1-cos t)/t^2 with series fallback. NB: both where()
+    # branches are always evaluated — the untaken branch must not produce
+    # NaN (0/0), so divide by a guarded denominator.
+    theta2_s = jnp.where(theta2 > _EPS, theta2, 1.0)
     a = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2_s, 0.5 - theta2 / 24.0)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -56,7 +59,10 @@ def so3_log(R):
     theta = jnp.arccos(cos_t)[..., None, None]
     # theta/(2 sin theta), series for small theta
     s = jnp.sin(theta)
-    coeff = jnp.where(jnp.abs(s) > _EPS, theta / (2.0 * s), 0.5 + theta * theta / 12.0)
+    s_safe = jnp.where(jnp.abs(s) > _EPS, s, 1.0)
+    coeff = jnp.where(
+        jnp.abs(s) > _EPS, theta / (2.0 * s_safe), 0.5 + theta * theta / 12.0
+    )
     return vee(coeff * (R - jnp.swapaxes(R, -1, -2)))
 
 
@@ -157,9 +163,12 @@ def se3_exp(xi):
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    theta2_s = jnp.where(theta2 > _EPS, theta2, 1.0)
+    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2_s, 0.5 - theta2 / 24.0)
     c = jnp.where(
-        theta2 > _EPS, (theta - jnp.sin(theta)) / (theta2 * theta), 1.0 / 6.0 - theta2 / 120.0
+        theta2 > _EPS,
+        (theta - jnp.sin(theta)) / (theta2_s * theta),
+        1.0 / 6.0 - theta2 / 120.0,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + b * W + c * W2

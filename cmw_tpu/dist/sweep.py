@@ -23,6 +23,7 @@ def build_scenarios(ctl: WalkingController, batch: int, seconds: float, push_max
     0.4 s starting at 0.6 s, alternating x/y direction."""
     cfg = ctl.cfg
     S = int(round(seconds / cfg.wbc_dt))
+    S = max(cfg.mpc_every, S - S % cfg.mpc_every)  # block-align for run_episode_blocked
     base = constant_inputs(S, (0.8, 0.0, 1.0, 0.0))
     mags = jnp.linspace(-push_max, push_max, batch)
     dirs = jnp.stack(
@@ -39,7 +40,10 @@ def build_scenarios(ctl: WalkingController, batch: int, seconds: float, push_max
 
 
 def _shard_metrics(ctl, s0, inputs, with_axis: bool):
-    _, tel = jax.vmap(lambda s, i: ctl.run_episode(s, i))(s0, inputs)
+    # blocked episodes: under vmap the per-tick cond would select-evaluate
+    # the MPC stage every WBC tick (~30x waste); the nested-scan form runs
+    # it once per MPC period (states here are fresh, so tick%k == 0 holds)
+    _, tel = jax.vmap(lambda s, i: ctl.run_episode_blocked(s, i))(s0, inputs)
     com = tel.com_mpc  # [b, S, 3]
     lat_dev = jnp.max(jnp.abs(com[:, :, 1]), axis=1)
     z_dev = jnp.max(jnp.abs(com[:, :, 2] - com[:, :1, 2]), axis=1)

@@ -376,8 +376,44 @@ class WalkingController:
     @functools.partial(jax.jit, static_argnums=0)
     def run_episode(self, s0: LoopState, inputs: TickInput):
         """inputs: TickInput with a leading [S] axis. Returns (final state,
-        stacked Telemetry)."""
+        stacked Telemetry).
+
+        General path: per-tick `lax.cond` on `tick % mpc_every` — correct
+        for any starting phase (checkpoint resume mid-block). Under vmap
+        the batched predicate turns the cond into a select that evaluates
+        the MPC stage EVERY tick; batched sweeps should use
+        `run_episode_blocked` instead (~mpc_every x less MPC work).
+        """
         return jax.lax.scan(self.step, s0, inputs)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_episode_blocked(self, s0: LoopState, inputs: TickInput):
+        """Episode as nested scans: outer over MPC periods (one `_mpc_stage`
+        each), inner over the `mpc_every` WBC ticks of the period. No cond,
+        so it stays cheap under vmap/shard_map (the batched-sweep hot path).
+
+        Preconditions: s0.tick % mpc_every == 0 (fresh or block-aligned
+        state) and S % mpc_every == 0 — then it is tick-for-tick identical
+        to `run_episode` (asserted in tests/test_runtime.py).
+        """
+        k = self.cfg.mpc_every
+        S = inputs.joypad.shape[0]
+        assert S % k == 0, f"episode length {S} must be a multiple of {k}"
+        blocks = jax.tree_util.tree_map(
+            lambda a: a.reshape((S // k, k) + a.shape[1:]), inputs
+        )
+
+        def outer(s, blk):
+            first = jax.tree_util.tree_map(lambda a: a[0], blk)
+            s = self._mpc_stage(s, first)
+            s, tels = jax.lax.scan(self._wbc_stage, s, blk)
+            return s, tels
+
+        s, tels = jax.lax.scan(outer, s0, blocks)
+        tels = jax.tree_util.tree_map(
+            lambda a: a.reshape((S,) + a.shape[2:]), tels
+        )
+        return s, tels
 
 
 def constant_inputs(S: int, joypad=(0.0, 0.0, 1.0, 0.0), dtype=jnp.float32) -> TickInput:

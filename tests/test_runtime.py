@@ -96,3 +96,33 @@ def test_telemetry_roundtrip(ctl):
     assert meta["note"] == "test"
     np.testing.assert_allclose(chans["com_mpc"], np.asarray(tel.com_mpc))
     assert "zmp_des" in meta["schema"]
+
+
+def test_blocked_episode_matches_flat(ctl):
+    """run_episode_blocked (nested scans, no cond — the vmap-sweep hot path)
+    computes the same trajectory as the general per-tick-cond episode.
+
+    The math is identical, but XLA fuses the two scan structures
+    differently, so last-ulp rounding differences grow through the
+    closed loop (the near-singular straight-knee IK amplifies them);
+    assert closeness over two MPC periods plus long-horizon sanity."""
+    S = 60  # 2 MPC periods
+    inputs = constant_inputs(S, (0.9, 0.1, 1.0, 0.0))
+    sA, telA = ctl.run_episode(ctl.initial_state(), inputs)
+    sB, telB = ctl.run_episode_blocked(ctl.initial_state(), inputs)
+    np.testing.assert_allclose(
+        np.asarray(telA.com_mpc), np.asarray(telB.com_mpc), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(telA.q), np.asarray(telB.q), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(telA.zmp_des), np.asarray(telB.zmp_des), rtol=1e-3, atol=1e-5
+    )
+    # longer blocked run stays finite and in contact
+    S2 = 600
+    _, tel = ctl.run_episode_blocked(
+        ctl.initial_state(), constant_inputs(S2, (0.9, 0.1, 1.0, 0.0))
+    )
+    assert np.isfinite(np.asarray(tel.com_mpc)).all()
+    assert np.asarray(tel.foot_contact).sum(1).min() >= 1.0
