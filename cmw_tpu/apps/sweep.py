@@ -21,6 +21,7 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--push-max", type=float, default=2.0)
     p.add_argument("--mesh", action="store_true", help="shard the batch over all devices")
+    p.add_argument("--chunk", type=int, default=512, help="scenarios per lax.map chunk (bounds peak memory)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
         "--mann",
@@ -54,6 +55,7 @@ def main(argv=None):
         seconds=args.seconds,
         push_max=args.push_max,
         use_mesh=args.mesh,
+        chunk=args.chunk,
     )
     wall = time.perf_counter() - t
     stats.update(

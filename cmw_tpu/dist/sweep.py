@@ -39,15 +39,45 @@ def build_scenarios(ctl: WalkingController, batch: int, seconds: float, push_max
     return s0b, inputs
 
 
-def _shard_metrics(ctl, s0, inputs, with_axis: bool):
-    # blocked episodes: under vmap the per-tick cond would select-evaluate
-    # the MPC stage every WBC tick (~30x waste); the nested-scan form runs
-    # it once per MPC period (states here are fresh, so tick%k == 0 holds)
-    _, tel = jax.vmap(lambda s, i: ctl.run_episode_blocked(s, i))(s0, inputs)
-    com = tel.com_mpc  # [b, S, 3]
-    lat_dev = jnp.max(jnp.abs(com[:, :, 1]), axis=1)
-    z_dev = jnp.max(jnp.abs(com[:, :, 2] - com[:, :1, 2]), axis=1)
-    finite = jnp.all(jnp.isfinite(com), axis=(1, 2))
+def _episode_metrics(ctl, s0, inputs, chunk: int):
+    """Per-scenario survival metrics via telemetry folding.
+
+    Blocked episodes (the per-tick cond would select-evaluate the MPC stage
+    every WBC tick under vmap, ~30x waste) + on-the-fly metric reduction
+    (O(1) telemetry memory), chunked with lax.map so 10k scenarios fit one
+    chip (a full vmap would materialize [B, 1080, n] SQP Jacobians).
+    Returns (lat_dev, z_dev, finite) each [b].
+    """
+    z0 = s0.x9[..., 2]  # [b] initial CoM height
+
+    def fold(acc, tel):
+        lat, dz, fin, zz0 = acc
+        com = tel.com_mpc
+        return (
+            jnp.maximum(lat, jnp.abs(com[1])),
+            jnp.maximum(dz, jnp.abs(com[2] - zz0)),
+            fin & jnp.all(jnp.isfinite(com)),
+            zz0,
+        )
+
+    def one(args):
+        s, i, zz0 = args
+        acc0 = (jnp.zeros(()), jnp.zeros(()), jnp.asarray(True), zz0)
+        _, (lat, dz, fin, _) = ctl.run_episode_fold(s, i, fold, acc0)
+        return lat, dz, fin
+
+    b = z0.shape[0]
+    if chunk and b > chunk:
+        assert b % chunk == 0, f"batch {b} must divide into chunks of {chunk}"
+        resh = lambda a: a.reshape((b // chunk, chunk) + a.shape[1:])
+        args = jax.tree_util.tree_map(resh, (s0, inputs, z0))
+        lat, dz, fin = jax.lax.map(jax.vmap(one), args)
+        return lat.reshape(b), dz.reshape(b), fin.reshape(b)
+    return jax.vmap(one)((s0, inputs, z0))
+
+
+def _shard_metrics(ctl, s0, inputs, with_axis: bool, chunk: int = 0):
+    lat_dev, z_dev, finite = _episode_metrics(ctl, s0, inputs, chunk)
     survived = finite & (lat_dev < 0.6) & (z_dev < 0.4)
     stats = {
         "survival_rate": jnp.mean(survived.astype(jnp.float32)),
@@ -69,6 +99,7 @@ def run_sweep(
     seconds: float,
     push_max: float = 2.0,
     use_mesh: bool = False,
+    chunk: int = 512,
 ) -> dict:
     s0, inputs = build_scenarios(ctl, batch, seconds, push_max)
 
@@ -79,7 +110,7 @@ def run_sweep(
         mesh = Mesh(np.array(devs), ("batch",))
         fn = jax.jit(
             jax.shard_map(
-                lambda s, i: _shard_metrics(ctl, s, i, True),
+                lambda s, i: _shard_metrics(ctl, s, i, True, chunk),
                 mesh=mesh,
                 in_specs=(P("batch"), P("batch")),
                 out_specs=(P("batch"), P()),
@@ -87,7 +118,7 @@ def run_sweep(
             )
         )
     else:
-        fn = jax.jit(lambda s, i: _shard_metrics(ctl, s, i, False))
+        fn = jax.jit(lambda s, i: _shard_metrics(ctl, s, i, False, chunk))
 
     survived, stats = fn(s0, inputs)
     return {

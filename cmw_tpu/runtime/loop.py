@@ -415,6 +415,36 @@ class WalkingController:
         )
         return s, tels
 
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def run_episode_fold(self, s0: LoopState, inputs: TickInput, fold, acc0):
+        """Blocked episode that folds the per-tick Telemetry into an
+        accumulator instead of stacking it: `acc = fold(acc, tel)` per tick.
+        O(1) telemetry memory — the enabler for 10k-scenario sweeps, where
+        stacked [B, S, ...] telemetry would not fit HBM. Same preconditions
+        as `run_episode_blocked`.
+        """
+        k = self.cfg.mpc_every
+        S = inputs.joypad.shape[0]
+        assert S % k == 0, f"episode length {S} must be a multiple of {k}"
+        blocks = jax.tree_util.tree_map(
+            lambda a: a.reshape((S // k, k) + a.shape[1:]), inputs
+        )
+
+        def inner(carry, i):
+            s, acc = carry
+            s, tel = self._wbc_stage(s, i)
+            return (s, fold(acc, tel)), None
+
+        def outer(carry, blk):
+            s, acc = carry
+            first = jax.tree_util.tree_map(lambda a: a[0], blk)
+            s = self._mpc_stage(s, first)
+            (s, acc), _ = jax.lax.scan(inner, (s, acc), blk)
+            return (s, acc), None
+
+        (s, acc), _ = jax.lax.scan(outer, (s0, acc0), blocks)
+        return s, acc
+
 
 def constant_inputs(S: int, joypad=(0.0, 0.0, 1.0, 0.0), dtype=jnp.float32) -> TickInput:
     return TickInput(

@@ -6,3 +6,30 @@ def test_scaling_measure_runs_sharded():
 
     rate = measure(n_dev=2, per_device=2, reps=1, chain=1)
     assert rate > 0
+
+
+def test_sweep_chunked_matches_unchunked():
+    """Chunked lax.map metrics (the 10k-scenario path) == plain vmap."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmw_tpu.core import kinematics as kin
+    from cmw_tpu.dist.sweep import build_scenarios, _episode_metrics
+    from cmw_tpu.mann.network import load_mann_weights
+    from cmw_tpu.runtime.config import ergocub_gazebo_v1
+    from cmw_tpu.runtime.loop import WalkingController
+
+    MANN4 = (
+        "/root/reference/src/centroidal-mpc-walking/config/robots/"
+        "ergoCubGazeboV1/onnx_50_mann4_smaller_steps.onnx"
+    )
+    ctl = WalkingController(
+        ergocub_gazebo_v1(), kin.ergocub_approx(), load_mann_weights(MANN4)
+    )
+    s0, inputs = build_scenarios(ctl, batch=4, seconds=0.5, push_max=1.5)
+    lat_a, dz_a, fin_a = _episode_metrics(ctl, s0, inputs, chunk=0)
+    lat_b, dz_b, fin_b = _episode_metrics(ctl, s0, inputs, chunk=2)
+    np.testing.assert_allclose(np.asarray(lat_a), np.asarray(lat_b), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dz_a), np.asarray(dz_b), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fin_a), np.asarray(fin_b))
+    assert bool(np.asarray(fin_a).all())
