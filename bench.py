@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cmw_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from cmw_tpu.cmpc import CentroidalMPCSolver, ergocub_mpc_config
 from cmw_tpu.core import contacts
 from cmw_tpu.core.centroidal import pack_state

@@ -25,6 +25,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from cmw_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
