@@ -105,6 +105,19 @@ def main():
     dt_batch = (time.perf_counter() - t) / reps / KB
     solves_per_s = B / dt_batch
 
+    # hardware-numerics sentinel: the Pallas KKT-inverse path must agree
+    # with the XLA cholesky path ON REAL HARDWARE (CPU/interpret tests can't
+    # see TPU numerics; an under-converged Newton-Schulz once passed tests
+    # while destabilizing the closed loop)
+    solver_x = CentroidalMPCSolver(ergocub_mpc_config(inverse_impl="xla"))
+    sol_p = solver.solve(base, solver.cold_start())
+    sol_x = solver_x.solve(base, solver_x.cold_start())
+    cost_p, cost_x = float(sol_p.cost), float(sol_x.cost)
+    numerics_ok = bool(
+        abs(cost_p - cost_x) <= 0.02 * (abs(cost_x) + 1.0)
+        and float(sol_p.prim_res) < 5e-2
+    )
+
     result = {
         "metric": "batched_mpc_solves_per_s",
         "value": round(float(solves_per_s), 2),
@@ -116,6 +129,8 @@ def main():
             "single_solve_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 3),
             "sqp_iters": cfg.sqp_iters,
             "admm_iters": cfg.admm_iters,
+            "numerics_ok": numerics_ok,
+            "cost_pallas_vs_xla": [round(cost_p, 2), round(cost_x, 2)],
             "device": str(jax.devices()[0]),
         },
     }

@@ -24,6 +24,18 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=512, help="scenarios per lax.map chunk (bounds peak memory)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
+        "--no-adjust",
+        action="store_true",
+        help="pin footsteps to nominal (disable the MPC's contact-location "
+        "decision variables — the paper's step-adjustment ablation)",
+    )
+    p.add_argument(
+        "--ablation",
+        action="store_true",
+        help="run the sweep twice (step adjustment on/off) and report both",
+    )
+    p.add_argument("--per-scenario", action="store_true", help="include per-scenario masks in the JSON")
+    p.add_argument(
         "--mann",
         default=(
             "/root/reference/src/centroidal-mpc-walking/config/robots/"
@@ -48,27 +60,50 @@ def main(argv=None):
     from cmw_tpu.runtime.config import ergocub_gazebo_v1
     from cmw_tpu.runtime.loop import WalkingController
 
-    cfg = ergocub_gazebo_v1()
-    ctl = WalkingController(cfg, kin.ergocub_approx(), load_mann_weights(args.mann))
+    from cmw_tpu.cmpc.formulation import no_adjust
 
-    t = time.perf_counter()
-    stats = run_sweep(
-        ctl,
-        batch=args.batch,
-        seconds=args.seconds,
-        push_max=args.push_max,
-        use_mesh=args.mesh,
-        chunk=args.chunk,
-    )
-    wall = time.perf_counter() - t
-    stats.update(
-        {
-            "wall_seconds": round(wall, 2),
-            "scenario_seconds_per_s": round(args.batch * args.seconds / wall, 2),
-            "devices": len(jax.devices()) if args.mesh else 1,
-        }
-    )
-    print(json.dumps(stats))
+    model = kin.ergocub_approx()
+    weights = load_mann_weights(args.mann)
+
+    def run(adjust: bool) -> dict:
+        cfg = ergocub_gazebo_v1()
+        if not adjust:
+            cfg = ergocub_gazebo_v1(mpc=no_adjust(cfg.mpc))
+        ctl = WalkingController(cfg, model, weights)
+        t = time.perf_counter()
+        stats = run_sweep(
+            ctl,
+            batch=args.batch,
+            seconds=args.seconds,
+            push_max=args.push_max,
+            use_mesh=args.mesh,
+            chunk=args.chunk,
+            per_scenario=args.per_scenario,
+        )
+        wall = time.perf_counter() - t
+        stats.update(
+            {
+                "step_adjustment": adjust,
+                "wall_seconds": round(wall, 2),
+                "scenario_seconds_per_s": round(args.batch * args.seconds / wall, 2),
+                "devices": len(jax.devices()) if args.mesh else 1,
+            }
+        )
+        return stats
+
+    if args.ablation:
+        on, off = run(True), run(False)
+        print(
+            json.dumps(
+                {
+                    "adjust_on": on,
+                    "adjust_off": off,
+                    "survival_gain": round(on["survival_rate"] - off["survival_rate"], 3),
+                }
+            )
+        )
+    else:
+        print(json.dumps(run(not args.no_adjust)))
 
 
 if __name__ == "__main__":

@@ -105,10 +105,13 @@ class MPCConfig:
     # VMEM-resident across all iterations (ops/admm_fused.py — wins only
     # when grid cells can spread over cores). "auto" = xla.
     admm_impl: str = "auto"
-    # Newton-Schulz pivot-inverse iterations (pallas path). Jacobi scaling
-    # normalizes the rho_eq=1e4 row spread, so NS converges to f32 epsilon
-    # by ~6 iterations even on the stiffest KKT blocks; 8 keeps margin.
-    ns_iters: int = 8
+    # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
+    # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
+    # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a
+    # few MPC ticks), ns=12 is fully converged (~2e-6, matching XLA
+    # Cholesky). NS contracts quadratically, so 12 sits safely past the
+    # knee; the 4 extra (128,128) matmul pairs per pivot block are noise.
+    ns_iters: int = 12
 
     @property
     def T(self) -> int:
@@ -159,6 +162,23 @@ class MPCConfig:
 def ergocub_mpc_config(**overrides) -> MPCConfig:
     """The ergoCubGazeboV1 preset (config/robots/ergoCubGazeboV1/*.ini)."""
     return MPCConfig(**overrides)
+
+
+def no_adjust(cfg: MPCConfig, eps: float = 1e-4) -> MPCConfig:
+    """Disable online step adjustment: shrink the contact-location bounding
+    boxes to ~zero so footsteps are pinned to their MANN-nominal poses.
+
+    The paper's headline ablation — with the reference this corresponds to
+    zeroing `bounding_box_{upper,lower}_limit` (centroidal_mpc.ini:30-31,
+    41-42); forces remain free, so the controller degrades to fixed-footstep
+    centroidal MPC.
+    """
+    nc = cfg.n_contacts
+    return dataclasses.replace(
+        cfg,
+        bbox_lower=tuple((-eps, -eps, 0.0) for _ in range(nc)),
+        bbox_upper=tuple((eps, eps, 0.0) for _ in range(nc)),
+    )
 
 
 class MPCParams(NamedTuple):

@@ -100,6 +100,7 @@ def run_sweep(
     push_max: float = 2.0,
     use_mesh: bool = False,
     chunk: int = 512,
+    per_scenario: bool = False,
 ) -> dict:
     s0, inputs = build_scenarios(ctl, batch, seconds, push_max)
 
@@ -121,10 +122,28 @@ def run_sweep(
         fn = jax.jit(lambda s, i: _shard_metrics(ctl, s, i, False, chunk))
 
     survived, stats = fn(s0, inputs)
-    return {
+    out = {
         "batch": batch,
         "survival_rate": round(float(stats["survival_rate"]), 3),
         "mean_lat_dev": round(float(stats["mean_lat_dev"]), 4),
         "max_lat_dev": round(float(stats["max_lat_dev"]), 4),
         "survived": int(np.asarray(survived).sum()),
     }
+    surv = np.asarray(survived)
+    mags = np.linspace(-push_max, push_max, batch)
+    isx = np.arange(batch) % 2 == 0
+    # largest |push| below which every weaker same-direction push survived
+    # (the "recoverable push set" radius — the paper's step-adjustment claim
+    # is that this grows with contact-location decision variables enabled)
+    for dname, m in (("x", isx), ("y", ~isx)):
+        lim = 0.0
+        for a, s in sorted(zip(np.abs(mags[m]), surv[m])):
+            if not s:
+                break
+            lim = a
+        out[f"recoverable_push_{dname}"] = round(float(lim), 3)
+    if per_scenario:
+        out["push_mags"] = [round(float(v), 3) for v in mags]
+        out["push_dirs"] = ["x" if v else "y" for v in isx]
+        out["survived_mask"] = [bool(v) for v in surv]
+    return out

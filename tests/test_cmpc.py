@@ -155,6 +155,25 @@ def test_step_adjustment_under_push(cfg):
     assert (d_push <= bu + 1e-4).all() and (d_push >= bl - 1e-4).all()
 
 
+def test_no_adjust_pins_footsteps(cfg):
+    """`no_adjust` (bbox -> ~0) must pin footsteps to nominal under the same
+    push that saturates the box in test_step_adjustment_under_push — the
+    fixed-footstep ablation of the paper's step-adjustment claim."""
+    from cmw_tpu.cmpc.formulation import no_adjust
+
+    solver = CentroidalMPCSolver(no_adjust(cfg))
+    plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=8), cfg.dt)
+    params = make_params(cfg, plan, 1.02, [0.0, 0.0, 0.7], com_ref_xy_drift=0.08)
+    params = params._replace(ext_force=jnp.asarray([0.0, 1.2, 0.0]))
+    sol = solver.solve(params, solver.cold_start())
+    stage = params.stage
+    adj = np.asarray(stage.slot_adjustable * stage.slot_valid)
+    d = (np.asarray(sol.positions) - np.asarray(stage.slot_pos_nom)) * adj[..., None]
+    assert np.abs(d).max() < 5e-3, d  # eps box + ADMM tolerance
+    assert float(sol.prim_res) < 2e-2
+    assert np.isfinite(np.asarray(sol.z)).all()
+
+
 def test_warm_start_receding_horizon(cfg):
     solver = CentroidalMPCSolver(cfg)
     plan = contacts.make_alternating_gait(n_steps=8)

@@ -7,13 +7,19 @@ from cmw_tpu.ops.spd_inverse import spd_inverse_pallas
 
 
 def test_spd_inverse_pallas_matches_numpy():
+    # run at the SOLVER'S configured ns_iters, not the kernel default —
+    # the two drifted apart once and the closed loop diverged on real TPU
+    # hardware while this test (then at the kernel default) stayed green
+    from cmw_tpu.cmpc import ergocub_mpc_config
+
+    ns = ergocub_mpc_config().ns_iters
     rng = np.random.default_rng(0)
     B, n = 3, 504
     A = rng.normal(size=(B, n, n)).astype(np.float32) * 0.02
     H = np.einsum("bij,bkj->bik", A, A) + np.eye(n, dtype=np.float32)
     # scale spread like the real ADMM KKT matrix (rho_eq rows)
     H[:, :50, :50] += 1e4 * np.eye(50, dtype=np.float32)
-    X = np.asarray(spd_inverse_pallas(jnp.asarray(H), interpret=True))
+    X = np.asarray(spd_inverse_pallas(jnp.asarray(H), ns_iters=ns, interpret=True))
     err = np.einsum("bij,bjk->bik", H, X) - np.eye(n, dtype=np.float32)
     assert np.abs(err).max() < 1e-4
 
