@@ -224,14 +224,35 @@ def interval_contact_geometry(cfg: MPCConfig, stage: MPCStageParams, positions):
 
 
 def rollout(cfg: MPCConfig, params: MPCParams, forces, positions):
-    """Forward-Euler rollout of the centroidal dynamics. Returns X [N, 9]."""
+    """Exact discrete rollout of the centroidal dynamics under
+    piecewise-constant corner forces. Returns X [N, 9].
+
+    Forces are constant over each interval, so the CoM map is the exact
+    double-integrator step (com += dt v + dt²/2 a) and the angular-momentum
+    integral ∫(c − com(t))×f dt is closed-form. This must match the plant
+    (RK4 @ wbc_dt of the same held forces, runtime/loop.py) — a plain Euler
+    rollout here leaves the MPC blind to the first interval's dt²/2 effect
+    on position, which in closed loop showed up as a slow upward CoM-z
+    drift (~0.01 m/s unpushed) that pushes amplified into divergence."""
     _, _, corner_k = interval_contact_geometry(cfg, params.stage, positions)
     active_k = params.stage.active.T  # [T, nc]
+    dt = cfg.dt
 
     def step(x, inp):
         f_k, c_k, a_k = inp
-        dx = centroidal_dynamics(x, f_k, c_k, a_k, params.ext_force, params.ext_torque)
-        x_next = x + cfg.dt * dx
+        com, vcom, L = x[0:3], x[3:6], x[6:9]
+        f = f_k * a_k[:, None, None]  # masked corner forces [nc,ncor,3]
+        f_tot = jnp.sum(f, axis=(0, 1))
+        g = jnp.zeros_like(vcom).at[2].set(-GRAVITY)
+        acc = g + f_tot + params.ext_force
+        com_n = com + dt * vcom + 0.5 * dt * dt * acc
+        vcom_n = vcom + dt * acc
+        # ∫₀^dt Σ (c − com(t))×f dt with com(t) = com + v t + ½ a t²:
+        #   dt·Σ(c − com)×f − (v dt²/2 + a dt³/6) × f_tot
+        dL0 = jnp.sum(jnp.cross(c_k - com[None, None, :], f), axis=(0, 1))
+        sweep = 0.5 * dt * dt * vcom + (dt**3 / 6.0) * acc
+        L_n = L + dt * (dL0 + params.ext_torque) - jnp.cross(sweep, f_tot)
+        x_next = jnp.concatenate([com_n, vcom_n, L_n])
         return x_next, x_next
 
     # T=20 steps of tiny ops: full unroll lets XLA fuse across steps (the

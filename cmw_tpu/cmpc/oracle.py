@@ -39,16 +39,20 @@ def rollout_np(cfg, params, F, P):
     X = np.zeros((cfg.N, 9))
     X[0] = np.asarray(params.x0, np.float64)
     g = np.array([0.0, 0.0, -GRAVITY])
+    dt = cfg.dt
+    # exact discrete map under piecewise-constant forces (must mirror
+    # formulation.rollout — see its docstring for why not plain Euler)
     for k in range(cfg.T):
         c, v, L = X[k, 0:3], X[k, 3:6], X[k, 6:9]
         m = active[:, k][:, None, None]
         f = F[k] * m
-        dv = g + f.sum((0, 1)) + ext_f
-        arm = corner_k[k] - c
-        dL = np.cross(arm, f).sum((0, 1)) + ext_t
-        X[k + 1, 0:3] = c + cfg.dt * v
-        X[k + 1, 3:6] = v + cfg.dt * dv
-        X[k + 1, 6:9] = L + cfg.dt * dL
+        f_tot = f.sum((0, 1))
+        acc = g + f_tot + ext_f
+        dL0 = np.cross(corner_k[k] - c, f).sum((0, 1))
+        sweep = 0.5 * dt * dt * v + (dt**3 / 6.0) * acc
+        X[k + 1, 0:3] = c + dt * v + 0.5 * dt * dt * acc
+        X[k + 1, 3:6] = v + dt * acc
+        X[k + 1, 6:9] = L + dt * (dL0 + ext_t) - np.cross(sweep, f_tot)
     return X
 
 

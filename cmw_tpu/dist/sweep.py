@@ -46,49 +46,76 @@ def _episode_metrics(ctl, s0, inputs, chunk: int):
     every WBC tick under vmap, ~30x waste) + on-the-fly metric reduction
     (O(1) telemetry memory), chunked with lax.map so 10k scenarios fit one
     chip (a full vmap would materialize [B, 1080, n] SQP Jacobians).
-    Returns (lat_dev, z_dev, finite) each [b].
+    Returns (supp_dev, z_dev, finite) each [b].
     """
     z0 = s0.x9[..., 2]  # [b] initial CoM height
 
     def fold(acc, tel):
-        lat, dz, fin, zz0 = acc
+        lat, dz, trk, fin, zz0 = acc
         com = tel.com_mpc
+        # fall signal = CoM leaving the support, NOT world-frame drift: the
+        # step-adjustment controller recovers a push by SIDESTEPPING (large
+        # world-frame |com_y|, perfectly balanced), so the honest criterion
+        # is CoM distance to the stance-feet centroid (tools/diag_push.py:
+        # healthy walk < 0.15 m, falls reach 0.5-0.9 m before z blows up)
+        fc = tel.foot_contact
+        w = fc / jnp.maximum(fc.sum(), 1e-6)
+        supp = (w[:, None] * tel.foot_pos_des).sum(0)
+        rel = jnp.linalg.norm(com[0:2] - supp[0:2])
+        # kinematic-infeasibility signal: the commanded robot's FK CoM can't
+        # follow the centroidal-model CoM (healthy walk < 0.07, diag_drift)
+        track = jnp.linalg.norm(com[0:2] - tel.com_meas[0:2])
         return (
-            jnp.maximum(lat, jnp.abs(com[1])),
+            jnp.maximum(lat, rel),
             jnp.maximum(dz, jnp.abs(com[2] - zz0)),
+            jnp.maximum(trk, track),
             fin & jnp.all(jnp.isfinite(com)),
             zz0,
         )
 
     def one(args):
         s, i, zz0 = args
-        acc0 = (jnp.zeros(()), jnp.zeros(()), jnp.asarray(True), zz0)
-        _, (lat, dz, fin, _) = ctl.run_episode_fold(s, i, fold, acc0)
-        return lat, dz, fin
+        acc0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.asarray(True), zz0)
+        _, (lat, dz, trk, fin, _) = ctl.run_episode_fold(s, i, fold, acc0)
+        return lat, dz, trk, fin
 
     b = z0.shape[0]
     if chunk and b > chunk:
         assert b % chunk == 0, f"batch {b} must divide into chunks of {chunk}"
         resh = lambda a: a.reshape((b // chunk, chunk) + a.shape[1:])
         args = jax.tree_util.tree_map(resh, (s0, inputs, z0))
-        lat, dz, fin = jax.lax.map(jax.vmap(one), args)
-        return lat.reshape(b), dz.reshape(b), fin.reshape(b)
+        lat, dz, trk, fin = jax.lax.map(jax.vmap(one), args)
+        return lat.reshape(b), dz.reshape(b), trk.reshape(b), fin.reshape(b)
     return jax.vmap(one)((s0, inputs, z0))
 
 
+# fall thresholds, calibrated with tools/diag_push.py (healthy walk:
+# supp_dev < 0.15, z_dev < 0.05, track_err < 0.07; falls blow well past all)
+SUPP_DEV_MAX = 0.4
+Z_DEV_MAX = 0.25
+TRACK_ERR_MAX = 0.15
+
+
 def _shard_metrics(ctl, s0, inputs, with_axis: bool, chunk: int = 0):
-    lat_dev, z_dev, finite = _episode_metrics(ctl, s0, inputs, chunk)
-    survived = finite & (lat_dev < 0.6) & (z_dev < 0.4)
+    supp_dev, z_dev, track_err, finite = _episode_metrics(ctl, s0, inputs, chunk)
+    survived = (
+        finite
+        & (supp_dev < SUPP_DEV_MAX)
+        & (z_dev < Z_DEV_MAX)
+        & (track_err < TRACK_ERR_MAX)
+    )
     stats = {
         "survival_rate": jnp.mean(survived.astype(jnp.float32)),
-        "mean_lat_dev": jnp.mean(lat_dev),
-        "max_lat_dev": jnp.max(lat_dev),
+        "mean_supp_dev": jnp.mean(supp_dev),
+        "max_supp_dev": jnp.max(supp_dev),
+        "max_track_err": jnp.max(track_err),
     }
     if with_axis:
         stats = {
             "survival_rate": jax.lax.pmean(stats["survival_rate"], "batch"),
-            "mean_lat_dev": jax.lax.pmean(stats["mean_lat_dev"], "batch"),
-            "max_lat_dev": jax.lax.pmax(stats["max_lat_dev"], "batch"),
+            "mean_supp_dev": jax.lax.pmean(stats["mean_supp_dev"], "batch"),
+            "max_supp_dev": jax.lax.pmax(stats["max_supp_dev"], "batch"),
+            "max_track_err": jax.lax.pmax(stats["max_track_err"], "batch"),
         }
     return survived, stats
 
@@ -125,8 +152,8 @@ def run_sweep(
     out = {
         "batch": batch,
         "survival_rate": round(float(stats["survival_rate"]), 3),
-        "mean_lat_dev": round(float(stats["mean_lat_dev"]), 4),
-        "max_lat_dev": round(float(stats["max_lat_dev"]), 4),
+        "mean_supp_dev": round(float(stats["mean_supp_dev"]), 4),
+        "max_supp_dev": round(float(stats["max_supp_dev"]), 4),
         "survived": int(np.asarray(survived).sum()),
     }
     surv = np.asarray(survived)

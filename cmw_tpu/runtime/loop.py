@@ -72,6 +72,8 @@ class LoopState(NamedTuple):
     mpc_cost: jnp.ndarray  # [] last solve diagnostics
     mpc_prim: jnp.ndarray  # []
     plant: P.PlantState  # simulated robot (servo lag + sensor RNG)
+    com_mann: jnp.ndarray  # [3] MANN CoM reference @ knot 0 (telemetry)
+    ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference @ knot 0
 
 
 class TickInput(NamedTuple):
@@ -100,6 +102,13 @@ class Telemetry(NamedTuple):
     mpc_cost: jnp.ndarray
     mpc_prim: jnp.ndarray
     adjusted_step: jnp.ndarray  # [nc, K, 3] current slot positions
+    zmp_meas: jnp.ndarray  # [3] measured ZMP (evaluateZMP, WBQP:737-803)
+    vcom_zmp: jnp.ndarray  # [2] CoM-ZMP stabilizer output
+    dq_cmd: jnp.ndarray  # [nj] IK joint-velocity command
+    joypad: jnp.ndarray  # [4] joystick input
+    q_reg: jnp.ndarray  # [nj] posture regularization target
+    com_mann: jnp.ndarray  # [3] MANN CoM reference @ current knot
+    ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference
 
 
 class WalkingController:
@@ -170,6 +179,8 @@ class WalkingController:
             mpc_cost=jnp.zeros((), dtype),
             mpc_prim=jnp.zeros((), dtype),
             plant=P.initial_state(cfg.plant, q0),
+            com_mann=com0.at[2].set(com_z_ref),
+            ang_mom_mann=jnp.zeros(3, dtype),
         )
 
     # -- MPC + MANN stage (every cfg.mpc_every ticks) ---------------------------
@@ -257,6 +268,8 @@ class WalkingController:
             chest_yaw=outs.base_xy_yaw[0, 2],
             mpc_cost=sol.cost,
             mpc_prim=sol.prim_res,
+            com_mann=com_ref[0],
+            ang_mom_mann=L_ref[0],
         )
 
     # -- WBC stage (every tick) -------------------------------------------------
@@ -361,6 +374,13 @@ class WalkingController:
             mpc_cost=s.mpc_cost,
             mpc_prim=s.mpc_prim,
             adjusted_step=stage_now.slot_pos_nom,
+            zmp_meas=zmp_meas,
+            vcom_zmp=v_cmd,
+            dq_cmd=nu[6:],
+            joypad=inp.joypad,
+            q_reg=s.q_reg,
+            com_mann=s.com_mann,
+            ang_mom_mann=s.ang_mom_mann,
         )
         return s2, tel
 

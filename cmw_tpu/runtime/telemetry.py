@@ -31,6 +31,13 @@ SCHEMA = {
     "mpc_cost": "last MPC cost",
     "mpc_prim": "last MPC primal residual",
     "adjusted_step": "current slot nominal/adjusted positions [nc,K,3]",
+    "zmp_meas": "measured ZMP from contact wrenches [m]",
+    "vcom_zmp": "CoM-ZMP stabilizer velocity output [m/s, xy]",
+    "dq_cmd": "IK joint-velocity command [nj]",
+    "joypad": "joystick input [motion_x, motion_y, facing_x, facing_y]",
+    "q_reg": "MANN posture regularization target [nj]",
+    "com_mann": "MANN CoM reference at the current MPC knot [m]",
+    "ang_mom_mann": "MANN angular-momentum reference (mass-normalized)",
 }
 
 

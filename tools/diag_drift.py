@@ -6,8 +6,8 @@ and compare: the platforms must agree to ~1e-2 on every printed number
 (CPU is true f32; any TPU-only divergence means a hardware-numerics bug in
 a kernel — this script found the under-converged Newton-Schulz pivot
 inverse in ops/spd_inverse.py that CPU/interpret tests cannot see).
-Healthy output: max|com_y| ~ 0.02, final com ~ [0.86, -0.02, 0.78],
-max_prim ~ 2.8e-3.
+Healthy output: max|com_y| ~ 0.03, final com ~ [0.89, -0.01, 0.76],
+max_prim ~ 5e-3.
 """
 import os as _os
 import sys as _sys
