@@ -20,6 +20,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--push-max", type=float, default=2.0)
+    p.add_argument(
+        "--push-duration",
+        type=float,
+        default=0.4,
+        help="push window length [s]; sustained pushes (>=1.5) are the "
+        "regime where footstep adjustment separates from pinned footsteps",
+    )
     p.add_argument("--mesh", action="store_true", help="shard the batch over all devices")
     p.add_argument("--chunk", type=int, default=512, help="scenarios per lax.map chunk (bounds peak memory)")
     p.add_argument("--cpu", action="store_true")
@@ -35,6 +42,15 @@ def main(argv=None):
         help="run the sweep twice (step adjustment on/off) and report both",
     )
     p.add_argument("--per-scenario", action="store_true", help="include per-scenario masks in the JSON")
+    p.add_argument(
+        "--fz-max",
+        type=float,
+        default=None,
+        help="per-corner normal-force cap in units of g (mass-normalized). "
+        "The default (3g) leaves force authority effectively unconstrained; "
+        "a realistic leg (~1.6x body weight => ~0.4g/corner) saturates under "
+        "large pushes, which is the regime where footstep adjustment matters",
+    )
     p.add_argument(
         "--mann",
         default=(
@@ -66,9 +82,17 @@ def main(argv=None):
     weights = load_mann_weights(args.mann)
 
     def run(adjust: bool) -> dict:
+        import dataclasses
+
+        from cmw_tpu.core.centroidal import GRAVITY
+
         cfg = ergocub_gazebo_v1()
+        mpc = cfg.mpc
+        if args.fz_max is not None:
+            mpc = dataclasses.replace(mpc, fz_max=args.fz_max * GRAVITY)
         if not adjust:
-            cfg = ergocub_gazebo_v1(mpc=no_adjust(cfg.mpc))
+            mpc = no_adjust(mpc)
+        cfg = ergocub_gazebo_v1(mpc=mpc)
         ctl = WalkingController(cfg, model, weights)
         t = time.perf_counter()
         stats = run_sweep(
@@ -79,6 +103,7 @@ def main(argv=None):
             use_mesh=args.mesh,
             chunk=args.chunk,
             per_scenario=args.per_scenario,
+            push_duration=args.push_duration,
         )
         wall = time.perf_counter() - t
         stats.update(

@@ -18,9 +18,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from cmw_tpu.runtime.loop import WalkingController, constant_inputs
 
 
-def build_scenarios(ctl: WalkingController, batch: int, seconds: float, push_max: float):
-    """B push-pulse scenarios: magnitude in [-push_max, push_max], window
-    0.4 s starting at 0.6 s, alternating x/y direction."""
+def build_scenarios(
+    ctl: WalkingController,
+    batch: int,
+    seconds: float,
+    push_max: float,
+    push_duration: float = 0.4,
+):
+    """B push scenarios: magnitude in [-push_max, push_max], window of
+    `push_duration` s starting at 0.6 s, alternating x/y direction.
+
+    A short pulse (default 0.4 s) tests impulse recovery — absorbable by
+    contact forces alone when force authority allows. A sustained push
+    (>= 1.5 s) forces the ZMP toward the support boundary for longer than
+    force authority can bridge, which is the regime where online footstep
+    adjustment (vs pinned footsteps) separates."""
     cfg = ctl.cfg
     S = int(round(seconds / cfg.wbc_dt))
     S = max(cfg.mpc_every, S - S % cfg.mpc_every)  # block-align for run_episode_blocked
@@ -30,7 +42,7 @@ def build_scenarios(ctl: WalkingController, batch: int, seconds: float, push_max
         [jnp.where(jnp.arange(batch) % 2 == 0, 1.0, 0.0), jnp.where(jnp.arange(batch) % 2 == 0, 0.0, 1.0)],
         axis=-1,
     )  # [B, 2]
-    i0, i1 = int(0.6 / cfg.wbc_dt), int(1.0 / cfg.wbc_dt)
+    i0, i1 = int(0.6 / cfg.wbc_dt), int((0.6 + push_duration) / cfg.wbc_dt)
     win = jnp.zeros((S,)).at[i0:i1].set(1.0)
     push = win[None, :, None] * mags[:, None, None] * jnp.pad(dirs, ((0, 0), (0, 1)))[:, None, :]
     inputs = jax.vmap(lambda pf: base._replace(ext_force=pf))(push)
@@ -128,8 +140,9 @@ def run_sweep(
     use_mesh: bool = False,
     chunk: int = 512,
     per_scenario: bool = False,
+    push_duration: float = 0.4,
 ) -> dict:
-    s0, inputs = build_scenarios(ctl, batch, seconds, push_max)
+    s0, inputs = build_scenarios(ctl, batch, seconds, push_max, push_duration)
 
     if use_mesh:
         devs = jax.devices()
