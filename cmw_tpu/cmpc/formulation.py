@@ -90,7 +90,9 @@ class MPCConfig:
     # an l1-penalty merit (cost + merit_penalty * constraint violation);
     # alpha 0 = reject. Prevents divergence of warm-started receding-horizon
     # chains (full GN steps with a stale quasi-Newton Hessian can ratchet).
-    line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.0)
+    # merit evaluation along the SQP step is exact + O(vector) per alpha
+    # (quadratic expansion, solver.py), so a fine grid costs nothing
+    line_search_alphas: tuple = (1.0, 0.85, 0.7, 0.55, 0.4, 0.25, 0.1, 0.0)
     merit_penalty: float = 1e3
     # Factorize the GN KKT matrix once per solve (quasi-Newton: later SQP
     # iterations reuse the first Hessian with exact gradients) instead of

@@ -154,12 +154,6 @@ class CentroidalMPCSolver:
             _, H0 = gauss_newton(z0)
             minv0 = inv(H0 + cfg.admm_sigma * eye + ata)
 
-        def merit(zz):
-            r = res_fn(zz)
-            az = matvec(zz)
-            viol = jnp.maximum(az - u, 0.0) + jnp.maximum(l - az, 0.0)
-            return 0.5 * jnp.sum(r * r) + cfg.merit_penalty * jnp.sum(viol)
-
         alphas = jnp.asarray(cfg.line_search_alphas, dtype)
 
         admm_impl = _admm_impl(cfg)
@@ -202,9 +196,25 @@ class CentroidalMPCSolver:
             q = g - H @ z
             state, prim = run_admm(minv, q, z, zc, y)
             # globalization: scale the step by the merit-minimizing alpha
-            # (alpha 0 = keep z; guarantees monotone merit inside a solve)
+            # (alpha 0 = keep z; guarantees monotone merit inside a solve).
+            # The residual is EXACTLY quadratic in z (com/vel are linear in
+            # the forces; L is a product of two linear terms), so the merit
+            # along dz is exact from one jvp + one extra residual eval:
+            #   r(z + a dz) = r0 + a r1 + a² r2,  A(z + a dz) = az0 + a adz
+            # — merit at every alpha then costs only vector ops, vs a full
+            # rollout per alpha (was ~60% of the whole solve).
             dz = state.x - z
-            merits = jax.vmap(lambda a: merit(z + a * dz))(alphas)
+            r0, r1 = jax.jvp(res_fn, (z,), (dz,))
+            r2 = res_fn(z + dz) - r0 - r1
+            az0, adz = matvec(z), matvec(dz)
+
+            def merit_at(a):
+                r = r0 + a * r1 + (a * a) * r2
+                az = az0 + a * adz
+                viol = jnp.maximum(az - u, 0.0) + jnp.maximum(l - az, 0.0)
+                return 0.5 * jnp.sum(r * r) + cfg.merit_penalty * jnp.sum(viol)
+
+            merits = jax.vmap(merit_at)(alphas)
             a_best = alphas[jnp.argmin(merits)]
             return (z + a_best * dz, state.zc, state.y), prim
 
