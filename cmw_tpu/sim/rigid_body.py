@@ -1,0 +1,291 @@
+"""Floating-base rigid-body dynamics plant — the Gazebo stand-in.
+
+The reference validates in Gazebo (ODE, 1 ms steps, worlds/*/world:5-8)
+with PID position-controlled joints (the icub-models Gazebo PID patch,
+dockerfiles/icub-models.patch). This module is the TPU-native equivalent:
+full Lagrangian dynamics of the 26-DoF + floating-base model, penalty
+ground contact at the 8 foot corners, PD joint servos tracking the
+PositionDirect command stream — everything a pure jittable function, so
+batched sweeps can run thousands of physically-simulated robots per chip.
+
+Formulation (mixed representation, matching core/kinematics Jacobians):
+generalized velocity nu = [v_base(world), w_base(world), qdot] in
+R^(6+nj). Dynamics follow the Euler-Lagrange equation evaluated in a
+local exponential chart x around the current configuration
+(p(x)=p+dx_p, R(x)=exp(hat(dx_th)) R, q(x)=q+dx_q):
+
+    M(0) a = tau_gen - (d/dt M) nu + 1/2 d/dx (nu^T M(x) nu) - dV/dx + J_c^T f_c
+
+with every configuration derivative obtained by jax jvp/grad through the
+mass-matrix/potential functions (exact — no finite differences, no
+hand-derived Coriolis terms). At x=0 the chart velocities coincide with
+nu and the chart acceleration with (dv, dw, ddq), so the solved `a`
+integrates directly (semi-implicit Euler; R <- exp(hat(w dt)) R).
+
+Ground contact: per-corner penalty normal force
+fz = (kp * penetration - kd * vz) gated to compression, with
+friction-cone-capped viscous tangential force — the standard regularized
+Coulomb model (same class ODE uses via CFM/ERP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmw_tpu.core import kinematics as kin
+from cmw_tpu.core import lie
+from cmw_tpu.core.centroidal import GRAVITY
+
+
+@dataclasses.dataclass(frozen=True)
+class RigidBodyConfig:
+    """Static plant parameters (hashable)."""
+
+    substeps: int = 2  # dynamics substeps per control tick
+    contact_kp: float = 6.0e4  # N/m per corner
+    contact_kd: float = 3.0e3  # N s/m per corner
+    contact_mu: float = 0.8  # plant-side friction (> MPC's 0.33 margin)
+    contact_ks: float = 1.0e4  # N/m tangential anchor-spring (static friction)
+    contact_kt: float = 3.0e2  # N s/m tangential damping
+    servo_kp: float = 900.0  # N m/rad joint PD (Gazebo PID patch analog)
+    servo_kd: float = 12.0
+    tau_max: float = 190.0  # N m actuator torque limit
+    joint_damping: float = 0.5  # N m s/rad passive
+    armature: float = 0.03  # kg m^2 rotor inertia added to M diagonal
+
+
+class RigidBodyState(NamedTuple):
+    base_rot: jnp.ndarray  # [3,3]
+    base_pos: jnp.ndarray  # [3]
+    q: jnp.ndarray  # [nj]
+    nu: jnp.ndarray  # [6+nj] = [v_base(world), w_base(world), qdot]
+    corner_forces: jnp.ndarray  # [nc, ncor, 3] last contact forces (world, N)
+    anchors: jnp.ndarray  # [nc, ncor, 2] tangential friction anchors (world xy)
+
+
+def initial_state(model: kin.RobotModel, q0, base_rot, base_pos, n_contacts=2, n_corners=4):
+    dt = q0.dtype
+    return RigidBodyState(
+        base_rot=jnp.asarray(base_rot, dt),
+        base_pos=jnp.asarray(base_pos, dt),
+        q=q0,
+        nu=jnp.zeros((6 + model.nj,), dt),
+        corner_forces=jnp.zeros((n_contacts, n_corners, 3), dt),
+        anchors=jnp.zeros((n_contacts, n_corners, 2), dt),
+    )
+
+
+# -- inertia ------------------------------------------------------------------
+
+
+def _link_com_jacobians(model: kin.RobotModel, link_R, link_p):
+    """Per-link CoM linear + angular Jacobians, mixed representation.
+
+    Returns (c_world [nl,3], Jv [nl,3,6+nj], Jw [nl,3,6+nj])."""
+    dt = link_R.dtype
+    nj, nl = model.nj, model.nj + 1
+    anc = jnp.asarray(kin._ancestor_matrix(model), dt)  # [nl, nj]
+    c_local = jnp.asarray(model.link_com, dt)
+    c_world = link_p + jnp.einsum("lij,lj->li", link_R, c_local)  # [nl,3]
+    axis_w, pivot = kin.joint_world_axes(model, link_R, link_p)
+
+    eye3 = jnp.eye(3, dtype=dt)
+    # angular: [0 | I | anc * axis]
+    Jw_q = anc[:, None, :] * jnp.swapaxes(axis_w, 0, 1)[None]  # [nl,3,nj]
+    Jw = jnp.concatenate(
+        [jnp.zeros((nl, 3, 3), dt), jnp.broadcast_to(eye3, (nl, 3, 3)), Jw_q],
+        axis=-1,
+    )
+    # linear: [I | -hat(c_l - p_base) | anc * axis x (c_l - pivot)]
+    arms = c_world[:, None, :] - pivot[None, :, :]  # [nl,nj,3]
+    cols = jnp.cross(axis_w[None, :, :], arms)  # [nl,nj,3]
+    Jv_q = anc[:, None, :] * jnp.swapaxes(cols, 1, 2)  # [nl,3,nj]
+    Jv = jnp.concatenate(
+        [
+            jnp.broadcast_to(eye3, (nl, 3, 3)),
+            -lie.hat(c_world - link_p[0]),
+            Jv_q,
+        ],
+        axis=-1,
+    )
+    return c_world, Jv, Jw
+
+
+def mass_matrix(model: kin.RobotModel, link_R, link_p, armature: float = 0.0):
+    """Joint-space inertia matrix M [6+nj, 6+nj] (composite of link CoM
+    Jacobians — O(nl n^2) dense einsums, MXU-friendly)."""
+    dt = link_R.dtype
+    m = jnp.asarray(model.link_mass, dt)
+    _, Jv, Jw = _link_com_jacobians(model, link_R, link_p)
+    I_w = jnp.einsum(
+        "lab,lbc,ldc->lad", link_R, jnp.asarray(model.link_inertia, dt), link_R
+    )
+    M = jnp.einsum("l,lxi,lxj->ij", m, Jv, Jv) + jnp.einsum(
+        "lxi,lxy,lyj->ij", Jw, I_w, Jw
+    )
+    if armature > 0.0:
+        nj = model.nj
+        M = M + armature * jnp.diag(
+            jnp.concatenate([jnp.zeros(6, dt), jnp.ones(nj, dt)])
+        )
+    return M
+
+
+def _perturbed_fk(model, base_rot, base_pos, q, x):
+    """FK at the exponential-chart point x = [dp(3), dth(3), dq(nj)]."""
+    R = lie.so3_exp(x[3:6]) @ base_rot
+    p = base_pos + x[0:3]
+    return kin.fk(model, q + x[6:], R, p)
+
+
+def bias_forces(cfg: RigidBodyConfig, model, base_rot, base_pos, q, nu):
+    """Coriolis/centrifugal + gravity generalized forces (RHS sign:
+    returns b with  M a = tau_gen - b)."""
+    dt = q.dtype
+    x0 = jnp.zeros((6 + model.nj,), dt)
+
+    def M_of(x):
+        link_R, link_p = _perturbed_fk(model, base_rot, base_pos, q, x)
+        return mass_matrix(model, link_R, link_p, cfg.armature)
+
+    def Mnu_of(x):
+        return M_of(x) @ nu
+
+    # d/dt(M) nu = jvp of (x -> M(x) nu) along x_dot = nu at x=0
+    _, Mdot_nu = jax.jvp(Mnu_of, (x0,), (nu,))
+    quad_grad = jax.grad(lambda x: 0.5 * jnp.dot(nu, M_of(x) @ nu))(x0)
+
+    def V_of(x):
+        link_R, link_p = _perturbed_fk(model, base_rot, base_pos, q, x)
+        c_local = jnp.asarray(model.link_com, dt)
+        c_world = link_p + jnp.einsum("lij,lj->li", link_R, c_local)
+        return GRAVITY * jnp.dot(jnp.asarray(model.link_mass, dt), c_world[:, 2])
+
+    g_gen = jax.grad(V_of)(x0)
+    return Mdot_nu - quad_grad + g_gen
+
+
+# -- contact ------------------------------------------------------------------
+
+
+def corner_contact_forces(
+    cfg: RigidBodyConfig,
+    model,
+    link_R,
+    link_p,
+    nu,
+    anchors,  # [nc, ncor, 2]
+    sole_frames: tuple,
+    corners_local: np.ndarray,  # [nc, ncor, 3] in sole frame
+):
+    """Penalty ground contact at the foot corners with anchor-spring
+    (static) friction: tangential force = -ks (xy - anchor) - kd v_t,
+    capped at mu * fz; on saturation the anchor slides so the spring alone
+    would reproduce the capped force (standard regularized stick-slip).
+
+    Returns (forces [nc,ncor,3] world N, J_pts [nc,ncor,3,6+nj],
+    new anchors)."""
+    dt = link_R.dtype
+    fR, fp = kin.frame_poses(model, link_R, link_p)
+    nc, ncor = corners_local.shape[0], corners_local.shape[1]
+    cl = jnp.asarray(corners_local, dt)
+
+    Js, pts = [], []
+    for i, fname in enumerate(sole_frames):
+        fi = model.frame_index(fname)
+        Jf = kin.frame_jacobian(model, link_R, link_p, fi)  # [6, 6+nj]
+        Ri, pi = fR[fi], fp[fi]
+        for j in range(ncor):
+            r = Ri @ cl[i, j]  # sole->corner offset, world
+            pts.append(pi + r)
+            # point Jacobian: Jv + w x r  =>  Jv - hat(r) Jw
+            Js.append(Jf[0:3] - lie.hat(r) @ Jf[3:6])
+    pts = jnp.stack(pts).reshape(nc, ncor, 3)
+    J_pts = jnp.stack(Js).reshape(nc, ncor, 3, -1)
+
+    v_pts = jnp.einsum("ncxk,k->ncx", J_pts, nu)
+    pen = jnp.maximum(-pts[..., 2], 0.0)  # penetration depth
+    active = (pen > 0.0).astype(dt)
+    fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v_pts[..., 2], 0.0) * active
+
+    xy = pts[..., 0:2]
+    # fresh contacts anchor at the touch-down point
+    anchors = jnp.where(active[..., None] > 0, anchors, xy)
+    ft_raw = (-cfg.contact_ks * (xy - anchors) - cfg.contact_kt * v_pts[..., 0:2]) * active[..., None]
+    ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
+    cap = cfg.contact_mu * fz[..., None]
+    scale = jnp.minimum(1.0, cap / jnp.maximum(ft_norm, 1e-9))
+    ft = ft_raw * scale
+    # sliding: move the anchor so the spring term alone yields ft
+    anchors_new = jnp.where(
+        (active[..., None] > 0) & (scale < 1.0),
+        xy + ft / cfg.contact_ks,
+        jnp.where(active[..., None] > 0, anchors, xy),
+    )
+    forces = jnp.concatenate([ft, fz[..., None]], axis=-1)
+    return forces, J_pts, anchors_new
+
+
+# -- step ---------------------------------------------------------------------
+
+
+def dynamics_step(
+    cfg: RigidBodyConfig,
+    model: kin.RobotModel,
+    state: RigidBodyState,
+    q_cmd: jnp.ndarray,
+    dt: float,
+    sole_frames: tuple = ("l_sole", "r_sole"),
+    corners_local: np.ndarray | None = None,
+    ext_force_base: jnp.ndarray | None = None,  # world N, applied at base origin
+):
+    """One control-tick step = cfg.substeps semi-implicit Euler substeps."""
+    nj = model.nj
+    dtp = state.q.dtype
+    if corners_local is None:
+        corners_local = np.array(
+            [[[0.08, 0.03, 0.0], [0.08, -0.03, 0.0], [-0.08, -0.03, 0.0], [-0.08, 0.03, 0.0]]]
+            * len(sole_frames)
+        )
+    f_ext = (
+        jnp.zeros(3, dtp) if ext_force_base is None else jnp.asarray(ext_force_base, dtp)
+    )
+    h = dt / cfg.substeps
+
+    def substep(s: RigidBodyState, _):
+        link_R, link_p = kin.fk(model, s.q, s.base_rot, s.base_pos)
+        M = mass_matrix(model, link_R, link_p, cfg.armature)
+        b = bias_forces(cfg, model, s.base_rot, s.base_pos, s.q, s.nu)
+        fc, J_pts, anchors = corner_contact_forces(
+            cfg, model, link_R, link_p, s.nu, s.anchors, sole_frames, corners_local
+        )
+        tau_c = jnp.einsum("ncxk,ncx->k", J_pts, fc)
+
+        qd = s.nu[6:]
+        tau_j = jnp.clip(
+            cfg.servo_kp * (q_cmd - s.q) - cfg.servo_kd * qd,
+            -cfg.tau_max,
+            cfg.tau_max,
+        ) - cfg.joint_damping * qd
+        tau = jnp.concatenate([f_ext, jnp.zeros(3, dtp), tau_j])
+
+        rhs = tau - b + tau_c
+        L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(6 + nj, dtype=dtp))
+        a = jax.scipy.linalg.cho_solve((L, True), rhs)
+
+        nu_n = s.nu + h * a
+        base_pos = s.base_pos + h * nu_n[0:3]
+        base_rot = lie.so3_exp(h * nu_n[3:6]) @ s.base_rot
+        q = s.q + h * nu_n[6:]
+        return (
+            RigidBodyState(base_rot, base_pos, q, nu_n, fc, anchors),
+            None,
+        )
+
+    state, _ = jax.lax.scan(substep, state, None, length=cfg.substeps)
+    return state
