@@ -52,6 +52,14 @@ def main(argv=None):
         "large pushes, which is the regime where footstep adjustment matters",
     )
     p.add_argument(
+        "--rigid",
+        action="store_true",
+        help="run the scenarios on the full rigid-body dynamics plant "
+        "(sim/rigid_body.py — the Gazebo stand-in) instead of the adherent "
+        "kinematic plant; fall criterion becomes the physical base tipping "
+        "over or collapsing",
+    )
+    p.add_argument(
         "--mann",
         default=(
             "/root/reference/src/centroidal-mpc-walking/config/robots/"
@@ -92,7 +100,12 @@ def main(argv=None):
             mpc = dataclasses.replace(mpc, fz_max=args.fz_max * GRAVITY)
         if not adjust:
             mpc = no_adjust(mpc)
-        cfg = ergocub_gazebo_v1(mpc=mpc)
+        kw = {}
+        if args.rigid:
+            from cmw_tpu.sim.rigid_body import RigidBodyConfig
+
+            kw["rigid"] = RigidBodyConfig()
+        cfg = ergocub_gazebo_v1(mpc=mpc, **kw)
         ctl = WalkingController(cfg, model, weights)
         t = time.perf_counter()
         stats = run_sweep(

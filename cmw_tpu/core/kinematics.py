@@ -469,3 +469,32 @@ def ergocub_approx() -> RobotModel:
         frame_pos=np.stack([frames[f][2] for f in fnames]),
         frame_rot=np.stack([frames[f][1] for f in fnames]),
     )
+
+
+def reference_initial_pose() -> np.ndarray:
+    """The reference's hard-coded initial joint configuration
+    (CentroidalMPCBlock.cpp:273-280, same 26-joint order as
+    centroidal_mpc_walking.ini:16-22; the Gazebo worlds spawn the robot in
+    the matching pose, worlds/centroidal_mpc_ergoCubGazeboV1/world).
+
+    Starting from this pose matters: it is inside the MANN training
+    distribution, so the generator's first references are consistent with
+    the robot's actual state (from zeros, the CoM reference jumps ~2.3 cm
+    forward at t=0 and the physical robot lurches)."""
+    return np.array(
+        [
+            # left leg / right leg
+            -0.10914914922234864, 0.013321900684695305, 0.0641749643461214,
+            -0.10257791368141178, -0.10022507712940709, -0.008216588774319855,
+            -0.12268291054316265, 0.030634497603792124, 0.07615972729195111,
+            -0.08458915163006389, -0.09374216923819316, 0.03547153929302758,
+            # torso, neck
+            0.15820784458809578, 0.0027573447757581046, -0.00487324344589554,
+            -0.00020607396841307649, -0.0024925787007575857, 0.044068009171592995,
+            # left arm, right arm
+            -0.027139990021827265, 0.10001107590632177, -0.20205046715326178,
+            0.03895909848833218,
+            -0.03078463156388759, 0.09999763869735125, -0.20637555723866208,
+            -0.003024742916772738,
+        ]
+    )

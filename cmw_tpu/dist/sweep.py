@@ -61,9 +61,10 @@ def _episode_metrics(ctl, s0, inputs, chunk: int):
     Returns (supp_dev, z_dev, finite) each [b].
     """
     z0 = s0.x9[..., 2]  # [b] initial CoM height
+    zb0 = s0.rb.base_pos[..., 2]  # [b] initial physical base height
 
     def fold(acc, tel):
-        lat, dz, trk, fin, zz0 = acc
+        lat, dz, trk, fin, up, bz, zz0 = acc
         com = tel.com_mpc
         # fall signal = CoM leaving the support, NOT world-frame drift: the
         # step-adjustment controller recovers a push by SIDESTEPPING (large
@@ -81,24 +82,31 @@ def _episode_metrics(ctl, s0, inputs, chunk: int):
             jnp.maximum(lat, rel),
             jnp.maximum(dz, jnp.abs(com[2] - zz0)),
             jnp.maximum(trk, track),
-            fin & jnp.all(jnp.isfinite(com)),
+            fin & jnp.all(jnp.isfinite(com)) & jnp.isfinite(tel.base_act_up),
+            # physical-plant fall signals (rigid mode; constant otherwise):
+            # base tilt cosine and base height
+            jnp.minimum(up, tel.base_act_up),
+            jnp.minimum(bz, tel.base_act_pos[2]),
             zz0,
         )
 
     def one(args):
         s, i, zz0 = args
-        acc0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.asarray(True), zz0)
-        _, (lat, dz, trk, fin, _) = ctl.run_episode_fold(s, i, fold, acc0)
-        return lat, dz, trk, fin
+        acc0 = (
+            jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+            jnp.asarray(True), jnp.ones(()), jnp.full((), 10.0), zz0,
+        )
+        _, (lat, dz, trk, fin, up, bz, _) = ctl.run_episode_fold(s, i, fold, acc0)
+        return lat, dz, trk, fin, up, bz
 
     b = z0.shape[0]
     if chunk and b > chunk:
         assert b % chunk == 0, f"batch {b} must divide into chunks of {chunk}"
         resh = lambda a: a.reshape((b // chunk, chunk) + a.shape[1:])
         args = jax.tree_util.tree_map(resh, (s0, inputs, z0))
-        lat, dz, trk, fin = jax.lax.map(jax.vmap(one), args)
-        return lat.reshape(b), dz.reshape(b), trk.reshape(b), fin.reshape(b)
-    return jax.vmap(one)((s0, inputs, z0))
+        outs = jax.lax.map(jax.vmap(one), args)
+        return tuple(a.reshape(b) for a in outs) + (zb0,)
+    return jax.vmap(one)((s0, inputs, z0)) + (zb0,)
 
 
 # fall thresholds, calibrated with tools/diag_push.py (healthy walk:
@@ -106,16 +114,34 @@ def _episode_metrics(ctl, s0, inputs, chunk: int):
 SUPP_DEV_MAX = 0.4
 Z_DEV_MAX = 0.25
 TRACK_ERR_MAX = 0.15
+# physical-plant thresholds (rigid mode, tools/diag_rigid.py): a standing/
+# walking robot keeps base tilt < ~25 deg and never drops its base by 25%
+UP_MIN = 0.9
+BASE_Z_FRAC_MIN = 0.75
 
 
 def _shard_metrics(ctl, s0, inputs, with_axis: bool, chunk: int = 0):
-    supp_dev, z_dev, track_err, finite = _episode_metrics(ctl, s0, inputs, chunk)
-    survived = (
-        finite
-        & (supp_dev < SUPP_DEV_MAX)
-        & (z_dev < Z_DEV_MAX)
-        & (track_err < TRACK_ERR_MAX)
+    supp_dev, z_dev, track_err, finite, up_min, bz_min, zb0 = _episode_metrics(
+        ctl, s0, inputs, chunk
     )
+    if ctl.cfg.rigid is not None:
+        # the plant gives the honest fall signal: the physical base tips
+        # over or collapses. The model-side criteria stay as guards against
+        # adherent-loop divergence.
+        survived = (
+            finite
+            & (up_min > UP_MIN)
+            & (bz_min > BASE_Z_FRAC_MIN * zb0)
+            & (supp_dev < SUPP_DEV_MAX)
+            & (z_dev < Z_DEV_MAX)
+        )
+    else:
+        survived = (
+            finite
+            & (supp_dev < SUPP_DEV_MAX)
+            & (z_dev < Z_DEV_MAX)
+            & (track_err < TRACK_ERR_MAX)
+        )
     stats = {
         "survival_rate": jnp.mean(survived.astype(jnp.float32)),
         "mean_supp_dev": jnp.mean(supp_dev),

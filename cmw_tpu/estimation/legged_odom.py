@@ -58,6 +58,31 @@ def base_pose(model: kin.RobotModel, state: OdometryState, q):
     return base_R, base_p
 
 
+def base_pose_fused(model: kin.RobotModel, state: OdometryState, q, imu_R):
+    """Base pose with IMU-fused attitude (complementary, yaw-preserving).
+
+    The pure kinematic chain (`base_pose`) assumes the fixed sole lies
+    FLAT at its pinned pose — it cannot observe the robot rocking on a
+    foot edge, which is exactly how a physical biped starts to fall. Every
+    real humanoid closes this with a base IMU (ergoCub's waist IMU; BLF's
+    FloatingBaseEstimators consume one). Fusion rule:
+
+      roll/pitch from the IMU, yaw from the kinematic anchor
+        R_fused = Rz(yaw_kin) Rz(-yaw_imu) R_imu
+      position re-anchored so the fixed sole's PLANNED position stays
+      pinned under the fused attitude (the reference's changeFixedFrame
+      convention, WholeBodyQPBlock.cpp:300-320).
+    """
+    dt = q.dtype
+    base_R_kin, _ = base_pose(model, state, q)
+    R_f = lie.rotz(lie.yaw_of(base_R_kin) - lie.yaw_of(imu_R)) @ imu_R
+    lR, lp = kin.fk(model, q, R_f, jnp.zeros(3, dt))
+    _, fp = kin.frame_poses(model, lR, lp)
+    li, ri = _sole_frames(model)
+    sole_p = jnp.where(state.fixed_index == 0, fp[li], fp[ri])
+    return R_f, state.fixed_pos - sole_p
+
+
 def base_twist(model: kin.RobotModel, state: OdometryState, q, qd, base_R, base_p):
     """Base twist from the fixed-sole stationarity constraint."""
     lR, lp = kin.fk(model, q, base_R, base_p)

@@ -13,6 +13,7 @@ from cmw_tpu.cmpc.formulation import MPCConfig
 from cmw_tpu.mann.generator import GeneratorConfig
 from cmw_tpu.mann.input_builder import InputBuilderConfig
 from cmw_tpu.sim.plant import PlantConfig
+from cmw_tpu.sim.rigid_body import RigidBodyConfig
 from cmw_tpu.wbc.com_zmp import CoMZMPGains
 from cmw_tpu.wbc.diff_ik import IKConfig
 from cmw_tpu.wbc.swing_foot import SwingFootConfig
@@ -29,6 +30,10 @@ class WalkingConfig:
     gains: CoMZMPGains = CoMZMPGains()
     input_builder: InputBuilderConfig = InputBuilderConfig()
     plant: PlantConfig = PlantConfig()  # default: ideal (adherent) plant
+    # full rigid-body dynamics plant (the Gazebo stand-in, sim/rigid_body.py);
+    # None -> the reference's adherent topology (commands realized exactly)
+    rigid: RigidBodyConfig | None = None
+    rigid_settle_s: float = 0.4  # pre-episode contact settling time
     wbc_dt: float = 0.002  # WHOLE_BODY_RUNNER sampling_time
     plan_phases: int = 16
     # CoM-height reference override (CentroidalMPCBlock.cpp:531-534 pins it
@@ -37,6 +42,13 @@ class WalkingConfig:
     # reach; None -> the same squat relative to the model's standing CoM)
     com_height_override: float | None = None
     com_height_drop: float = 0.05
+    # startup reference shaping: the MANN's standing CoM reference sits
+    # ~2.3 cm ahead of (and the height override ~5 cm below) the robot's
+    # actual initial CoM; tracking that step-change makes the physical
+    # robot lurch and rock onto its foot edges at gait start (measured
+    # with tools/diag_rigid.py). The initial reference mismatch is instead
+    # decayed exponentially with this time constant. 0 disables.
+    ref_ramp_tau: float = 0.4
 
     @property
     def mpc_every(self) -> int:

@@ -41,6 +41,7 @@ from cmw_tpu.core.splines import linear_spline
 from cmw_tpu.estimation import fixed_foot, legged_odom
 from cmw_tpu.mann import generator as G
 from cmw_tpu.sim import plant as P
+from cmw_tpu.sim import rigid_body as RB
 from cmw_tpu.mann.input_builder import build_desired_trajectory
 from cmw_tpu.mann.network import MANNWeights
 from cmw_tpu.runtime.config import WalkingConfig
@@ -69,9 +70,11 @@ class LoopState(NamedTuple):
     chest_yaw: jnp.ndarray  # []
     root_z_off: jnp.ndarray  # [] bootstrap root offset (WBQP:1066-1080)
     com_z_ref: jnp.ndarray  # [] height reference
+    ref_off: jnp.ndarray  # [3] decaying startup reference offset
     mpc_cost: jnp.ndarray  # [] last solve diagnostics
     mpc_prim: jnp.ndarray  # []
     plant: P.PlantState  # simulated robot (servo lag + sensor RNG)
+    rb: RB.RigidBodyState  # rigid-body plant (stepped only when cfg.rigid)
     com_mann: jnp.ndarray  # [3] MANN CoM reference @ knot 0 (telemetry)
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference @ knot 0
 
@@ -109,6 +112,10 @@ class Telemetry(NamedTuple):
     q_reg: jnp.ndarray  # [nj] posture regularization target
     com_mann: jnp.ndarray  # [3] MANN CoM reference @ current knot
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference
+    base_act_pos: jnp.ndarray  # [3] physical base position (rigid plant)
+    base_act_up: jnp.ndarray  # [] cos(base tilt) = R_act[2,2] (rigid plant)
+    base_act_lean: jnp.ndarray  # [2] world-z of base x/y axes (pitch/roll)
+    fz_act: jnp.ndarray  # [nc] physical per-foot normal force sum (N)
 
 
 class WalkingController:
@@ -157,6 +164,21 @@ class WalkingController:
             cfg.mpc, stage, stage.slot_pos_nom
         )
         gen0 = G.initial_state(cfg.gen, model, q0)
+
+        # rigid-body plant: spawn at the desired pose, settle onto the
+        # penalty contact holding q0, then bootstrap the centroidal
+        # integrator from the *measured* (odometry) CoM — the reference's
+        # first-iteration bootstrap (WholeBodyQPBlock.cpp:1037-1080)
+        rb0 = RB.initial_state(model, q0, jnp.eye(3, dtype=dtype), base_pos)
+        if cfg.rigid is not None:
+            n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
+            rb0 = RB.settle(cfg.rigid, model, rb0, q0, cfg.wbc_dt, n_settle)
+            ff0 = fixed_foot.detect(plan, jnp.zeros((), dtype))
+            odo0 = legged_odom.OdometryState(ff0.index, ff0.rot, ff0.pos)
+            eR, ep = legged_odom.base_pose(model, odo0, rb0.q)
+            mlR, mlp = kin.fk(model, rb0.q, eR, ep)
+            com0 = kin.com(model, mlR, mlp)
+
         return LoopState(
             t=jnp.zeros((), dtype),
             tick=jnp.zeros((), jnp.int32),
@@ -176,9 +198,11 @@ class WalkingController:
             chest_yaw=jnp.zeros((), dtype),
             root_z_off=base_pos[2] - com0[2],
             com_z_ref=jnp.asarray(com_z_ref, dtype),
+            ref_off=jnp.zeros(3, dtype),
             mpc_cost=jnp.zeros((), dtype),
             mpc_prim=jnp.zeros((), dtype),
             plant=P.initial_state(cfg.plant, q0),
+            rb=rb0,
             com_mann=com0.at[2].set(com_z_ref),
             ang_mom_mann=jnp.zeros(3, dtype),
         )
@@ -208,6 +232,19 @@ class WalkingController:
         knot_times = jnp.arange(mpc.N, dtype=dtype) * mpc.dt
         com_ref, _ = linear_spline(gen_times, outs.com, knot_times)
         com_ref = com_ref.at[:, 2].set(s.com_z_ref)  # z override (:531-534)
+        # startup shaping: decay the initial reference mismatch instead of
+        # tracking it as a step change (config.ref_ramp_tau docstring). The
+        # offset decays along the horizon too, so every receding-horizon
+        # solve previews a consistent target trajectory.
+        if cfg.ref_ramp_tau > 0.0:
+            decay = jnp.exp(jnp.asarray(-mpc.dt / cfg.ref_ramp_tau, dtype))
+            ref_off = jnp.where(
+                s.tick == 0, s.x9[0:3] - com_ref[0], s.ref_off * decay
+            )
+            kdec = decay ** jnp.arange(mpc.N, dtype=dtype)
+            com_ref = com_ref + ref_off[None, :] * kdec[:, None]
+        else:
+            ref_off = s.ref_off
         L_ref, _ = linear_spline(gen_times, outs.ang_mom, knot_times)
         L_ref = L_ref / self.mass  # mass normalization (:525-529)
 
@@ -268,6 +305,7 @@ class WalkingController:
             chest_yaw=outs.base_xy_yaw[0, 2],
             mpc_cost=sol.cost,
             mpc_prim=sol.prim_res,
+            ref_off=ref_off,
             com_mann=com_ref[0],
             ang_mom_mann=L_ref[0],
         )
@@ -280,16 +318,37 @@ class WalkingController:
 
         pcfg = cfg.plant
 
-        # plant: actual joints track the PositionDirect stream (servo lag),
-        # encoders read them with noise; with the default ideal plant this
-        # reduces to q_meas == commanded q
-        ps = P.servo_step(pcfg, s.plant, s.q, dt)
-        q_meas, _dq_meas, ps = P.read_joints(pcfg, ps)
+        if cfg.rigid is not None:
+            # full rigid-body plant (the Gazebo stand-in): PD servos track
+            # the PositionDirect stream through the Lagrangian dynamics;
+            # the push is a real force on the base, not just a measured
+            # wrench. Encoders read the physical joints.
+            rbs = RB.dynamics_step(
+                cfg.rigid, model, s.rb, s.q, dt,
+                ext_force_base=inp.ext_force * self.mass,
+            )
+            q_meas = rbs.q
+            ps = s.plant
+        else:
+            rbs = s.rb
+            # kinematic plant: actual joints track the PositionDirect stream
+            # (servo lag), encoders read them with noise; with the default
+            # ideal plant this reduces to q_meas == commanded q
+            ps = P.servo_step(pcfg, s.plant, s.q, dt)
+            q_meas, _dq_meas, ps = P.read_joints(pcfg, ps)
 
-        # estimation: fixed foot + legged odometry on the measured joints
+        # estimation: fixed foot + legged odometry on the measured joints;
+        # with the rigid plant the base attitude comes from the (ideal)
+        # base IMU — kinematic-only odometry cannot observe the robot
+        # rocking on a foot edge (legged_odom.base_pose_fused docstring)
         ff = fixed_foot.detect(s.plan, s.t)
         odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
-        base_est_R, base_est_p = legged_odom.base_pose(model, odo, q_meas)
+        if cfg.rigid is not None:
+            base_est_R, base_est_p = legged_odom.base_pose_fused(
+                model, odo, q_meas, rbs.base_rot
+            )
+        else:
+            base_est_R, base_est_p = legged_odom.base_pose(model, odo, q_meas)
 
         # measured external wrench, deadbanded below 0.7 N
         # (WholeBodyQPBlock.cpp:1018-1021)
@@ -306,9 +365,25 @@ class WalkingController:
         # kinDynWithMeasured, WholeBodyQPBlock.cpp:950-991)
         lR, lp = kin.fk(model, q_meas, base_est_R, base_est_p)
         com_meas = kin.com(model, lR, lp)
-        # measured ZMP from the wrench sensors (evaluateZMP, :737-803);
-        # noise-free sensors realize the desired ZMP exactly
-        if pcfg.wrench_noise > 0.0:
+        # measured ZMP from the wrench sensors (evaluateZMP, :737-803)
+        if cfg.rigid is not None:
+            # the real thing: the plant's contact forces at the corner
+            # positions of the odometry-frame kinematics (the reference
+            # rotates measured sole wrenches into the odometry world the
+            # same way, WholeBodyQPBlock.cpp:745-777)
+            fRm, fpm = kin.frame_poses(model, lR, lp)
+            cl = jnp.asarray(RB.default_corners(2), q_meas.dtype)
+            corner_meas = jnp.stack(
+                [
+                    fpm[model.frame_index(f)]
+                    + jnp.einsum("ab,jb->ja", fRm[model.frame_index(f)], cl[i])
+                    for i, f in enumerate(("l_sole", "r_sole"))
+                ]
+            )
+            zmp_meas = desired_zmp_from_corners(
+                rbs.corner_forces, corner_meas, centers=corner_meas.mean(axis=1)
+            )
+        elif pcfg.wrench_noise > 0.0:
             zmp_meas, ps = P.read_zmp(
                 pcfg, ps, s.forces0, s.corner0, s.corner0.mean(axis=1)
             )
@@ -355,6 +430,7 @@ class WalkingController:
             base_pos=base_pos,
             q=q,
             plant=ps,
+            rb=rbs,
         )
         stage_now = C.mpc_stage_params(s.plan, s.t, 1, cfg.mpc.dt, cfg.mpc.n_slots)
         tel = Telemetry(
@@ -381,6 +457,14 @@ class WalkingController:
             q_reg=s.q_reg,
             com_mann=s.com_mann,
             ang_mom_mann=s.ang_mom_mann,
+            base_act_pos=rbs.base_pos if cfg.rigid is not None else base_pos,
+            base_act_up=(
+                rbs.base_rot[2, 2] if cfg.rigid is not None else base_rot[2, 2]
+            ),
+            base_act_lean=(
+                rbs.base_rot[2, 0:2] if cfg.rigid is not None else base_rot[2, 0:2]
+            ),
+            fz_act=rbs.corner_forces[..., 2].sum(-1),
         )
         return s2, tel
 

@@ -46,14 +46,25 @@ from cmw_tpu.core.centroidal import GRAVITY
 class RigidBodyConfig:
     """Static plant parameters (hashable)."""
 
+    # 2 substeps @ 500 Hz control = 1 ms physics, same step as Gazebo
+    # (worlds/*/world:5-8). The velocity-implicit contact/servo update
+    # (see dynamics_step) is what makes 1 ms stable — an explicit penalty
+    # update needs 0.25 ms and still bounces on footfalls.
     substeps: int = 2  # dynamics substeps per control tick
     contact_kp: float = 6.0e4  # N/m per corner
     contact_kd: float = 3.0e3  # N s/m per corner
     contact_mu: float = 0.8  # plant-side friction (> MPC's 0.33 margin)
     contact_ks: float = 1.0e4  # N/m tangential anchor-spring (static friction)
     contact_kt: float = 3.0e2  # N s/m tangential damping
-    servo_kp: float = 900.0  # N m/rad joint PD (Gazebo PID patch analog)
-    servo_kd: float = 12.0
+    # joint position PID (the Gazebo PID analog, dockerfiles/
+    # icub-models.patch). The integral term is load-bearing: a pure PD
+    # sags 3-10 deg under gravity torque, which physically tips the robot
+    # onto its heel edges during the initial CoM-height squat (measured:
+    # lean reaches 13 deg within 0.6 s and the gait never recovers).
+    servo_kp: float = 3000.0  # N m/rad
+    servo_kd: float = 30.0  # N m s/rad
+    servo_ki: float = 4000.0  # N m/(rad s)
+    servo_int_max: float = 90.0  # N m anti-windup clamp on the I term
     tau_max: float = 190.0  # N m actuator torque limit
     joint_damping: float = 0.5  # N m s/rad passive
     armature: float = 0.03  # kg m^2 rotor inertia added to M diagonal
@@ -66,6 +77,7 @@ class RigidBodyState(NamedTuple):
     nu: jnp.ndarray  # [6+nj] = [v_base(world), w_base(world), qdot]
     corner_forces: jnp.ndarray  # [nc, ncor, 3] last contact forces (world, N)
     anchors: jnp.ndarray  # [nc, ncor, 2] tangential friction anchors (world xy)
+    servo_int: jnp.ndarray  # [nj] integral of the joint position error (N m)
 
 
 def initial_state(model: kin.RobotModel, q0, base_rot, base_pos, n_contacts=2, n_corners=4):
@@ -77,6 +89,7 @@ def initial_state(model: kin.RobotModel, q0, base_rot, base_pos, n_contacts=2, n
         nu=jnp.zeros((6 + model.nj,), dt),
         corner_forces=jnp.zeros((n_contacts, n_corners, 3), dt),
         anchors=jnp.zeros((n_contacts, n_corners, 2), dt),
+        servo_int=jnp.zeros((model.nj,), dt),
     )
 
 
@@ -173,6 +186,36 @@ def bias_forces(cfg: RigidBodyConfig, model, base_rot, base_pos, q, nu):
 # -- contact ------------------------------------------------------------------
 
 
+def corner_points_jacobians(
+    model,
+    link_R,
+    link_p,
+    sole_frames: tuple,
+    corners_local,  # [nc, ncor, 3] in sole frame
+):
+    """World positions + point Jacobians of the foot corners.
+
+    Returns (pts [nc,ncor,3], J_pts [nc,ncor,3,6+nj])."""
+    dt = link_R.dtype
+    fR, fp = kin.frame_poses(model, link_R, link_p)
+    nc, ncor = corners_local.shape[0], corners_local.shape[1]
+    cl = jnp.asarray(corners_local, dt)
+
+    Js, pts = [], []
+    for i, fname in enumerate(sole_frames):
+        fi = model.frame_index(fname)
+        Jf = kin.frame_jacobian(model, link_R, link_p, fi)  # [6, 6+nj]
+        Ri, pi = fR[fi], fp[fi]
+        for j in range(ncor):
+            r = Ri @ cl[i, j]  # sole->corner offset, world
+            pts.append(pi + r)
+            # point Jacobian: Jv + w x r  =>  Jv - hat(r) Jw
+            Js.append(Jf[0:3] - lie.hat(r) @ Jf[3:6])
+    pts = jnp.stack(pts).reshape(nc, ncor, 3)
+    J_pts = jnp.stack(Js).reshape(nc, ncor, 3, -1)
+    return pts, J_pts
+
+
 def corner_contact_forces(
     cfg: RigidBodyConfig,
     model,
@@ -191,22 +234,7 @@ def corner_contact_forces(
     Returns (forces [nc,ncor,3] world N, J_pts [nc,ncor,3,6+nj],
     new anchors)."""
     dt = link_R.dtype
-    fR, fp = kin.frame_poses(model, link_R, link_p)
-    nc, ncor = corners_local.shape[0], corners_local.shape[1]
-    cl = jnp.asarray(corners_local, dt)
-
-    Js, pts = [], []
-    for i, fname in enumerate(sole_frames):
-        fi = model.frame_index(fname)
-        Jf = kin.frame_jacobian(model, link_R, link_p, fi)  # [6, 6+nj]
-        Ri, pi = fR[fi], fp[fi]
-        for j in range(ncor):
-            r = Ri @ cl[i, j]  # sole->corner offset, world
-            pts.append(pi + r)
-            # point Jacobian: Jv + w x r  =>  Jv - hat(r) Jw
-            Js.append(Jf[0:3] - lie.hat(r) @ Jf[3:6])
-    pts = jnp.stack(pts).reshape(nc, ncor, 3)
-    J_pts = jnp.stack(Js).reshape(nc, ncor, 3, -1)
+    pts, J_pts = corner_points_jacobians(model, link_R, link_p, sole_frames, corners_local)
 
     v_pts = jnp.einsum("ncxk,k->ncx", J_pts, nu)
     pen = jnp.maximum(-pts[..., 2], 0.0)  # penetration depth
@@ -248,44 +276,142 @@ def dynamics_step(
     nj = model.nj
     dtp = state.q.dtype
     if corners_local is None:
-        corners_local = np.array(
-            [[[0.08, 0.03, 0.0], [0.08, -0.03, 0.0], [-0.08, -0.03, 0.0], [-0.08, 0.03, 0.0]]]
-            * len(sole_frames)
-        )
+        corners_local = default_corners(len(sole_frames))
     f_ext = (
         jnp.zeros(3, dtp) if ext_force_base is None else jnp.asarray(ext_force_base, dtp)
     )
     h = dt / cfg.substeps
 
     def substep(s: RigidBodyState, _):
+        """Velocity-level implicit step (the ODE ERP/CFM analog).
+
+        Contact spring-dampers and the joint servo are linear in the
+        end-of-step velocity nu+; folding their velocity Jacobian into the
+        mass matrix makes the update unconditionally stable for stiff
+        kp/kd at h = 1 ms, and — critically for walking — removes the
+        explicit-integration landing bounce (measured: explicit penalty
+        at h <= 0.5 ms still launched the robot airborne with 2-4x mg
+        force spikes on each footfall; implicit lands dead):
+
+          (M + h J^T D J + h diag_j(d_srv)) nu+ =
+              M nu + h (tau0 - b + J^T f0)
+
+        with per-corner D = diag(kt + h ks, kt + h ks, kd + h kp) on
+        active corners and d_srv = servo_kd + joint_damping + h servo_kp;
+        f0 and tau0 are the forces/torques evaluated at the current state
+        WITHOUT their velocity terms (those live implicitly on the LHS).
+        """
         link_R, link_p = kin.fk(model, s.q, s.base_rot, s.base_pos)
         M = mass_matrix(model, link_R, link_p, cfg.armature)
         b = bias_forces(cfg, model, s.base_rot, s.base_pos, s.q, s.nu)
-        fc, J_pts, anchors = corner_contact_forces(
-            cfg, model, link_R, link_p, s.nu, s.anchors, sole_frames, corners_local
+        pts, J_pts = corner_points_jacobians(
+            model, link_R, link_p, sole_frames, jnp.asarray(corners_local, dtp)
         )
-        tau_c = jnp.einsum("ncxk,ncx->k", J_pts, fc)
+
+        pen = jnp.maximum(-pts[..., 2], 0.0)
+        active = (pen > 0.0).astype(dtp)
+        xy = pts[..., 0:2]
+        anchors0 = jnp.where(active[..., None] > 0, s.anchors, xy)
+
+        # position-only force parts (velocity terms are implicit)
+        fz0 = cfg.contact_kp * pen * active
+        ft0 = -cfg.contact_ks * (xy - anchors0) * active[..., None]
+        f0 = jnp.concatenate([ft0, fz0[..., None]], axis=-1)
 
         qd = s.nu[6:]
-        tau_j = jnp.clip(
-            cfg.servo_kp * (q_cmd - s.q) - cfg.servo_kd * qd,
-            -cfg.tau_max,
-            cfg.tau_max,
-        ) - cfg.joint_damping * qd
-        tau = jnp.concatenate([f_ext, jnp.zeros(3, dtp), tau_j])
+        err = q_cmd - s.q
+        s_int = jnp.clip(
+            s.servo_int + cfg.servo_ki * h * err,
+            -cfg.servo_int_max,
+            cfg.servo_int_max,
+        )
+        tau_j0 = jnp.clip(
+            cfg.servo_kp * err + s_int, -cfg.tau_max, cfg.tau_max
+        )
+        d_srv = cfg.servo_kd + cfg.joint_damping + h * cfg.servo_kp
+        tau0 = jnp.concatenate([f_ext, jnp.zeros(3, dtp), tau_j0])
+        M_srv = M + h * jnp.diag(
+            jnp.concatenate([jnp.zeros(6, dtp), jnp.full((nj,), d_srv, dtp)])
+        )
 
-        rhs = tau - b + tau_c
-        L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(6 + nj, dtype=dtp))
-        a = jax.scipy.linalg.cho_solve((L, True), rhs)
+        def solve_with(act):
+            """Implicit solve with the given corner active set."""
+            d_t = (cfg.contact_kt + h * cfg.contact_ks) * act
+            d_z = (cfg.contact_kd + h * cfg.contact_kp) * act
+            D = jnp.stack([d_t, d_t, d_z], axis=-1)  # [nc,ncor,3]
+            f0a = f0 * act[..., None]
+            JDJ = jnp.einsum("ncxi,ncx,ncxj->ij", J_pts, D, J_pts)
+            rhs = M @ s.nu + h * (
+                tau0 - b + jnp.einsum("ncxk,ncx->k", J_pts, f0a)
+            )
+            L = jnp.linalg.cholesky(M_srv + h * JDJ + 1e-9 * jnp.eye(6 + nj, dtype=dtp))
+            nu_n = jax.scipy.linalg.cho_solve((L, True), rhs)
+            v_new = jnp.einsum("ncxk,k->ncx", J_pts, nu_n)
+            return nu_n, f0a - D * v_new
 
-        nu_n = s.nu + h * a
+        # active-set pass: corners whose implicit normal force comes out
+        # negative are separating this substep — drop them and re-solve
+        # once (otherwise the implicit spring acts as glue on lift-off)
+        _, fc_try = solve_with(active)
+        active = active * (fc_try[..., 2] > 0.0).astype(dtp)
+        nu_n, fc = solve_with(active)
+        v_new = jnp.einsum("ncxk,k->ncx", J_pts, nu_n)
+        fz = jnp.maximum(fc[..., 2], 0.0) * active
+        ft_raw = fc[..., 0:2]
+        ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
+        cap = cfg.contact_mu * fz[..., None]
+        scale = jnp.minimum(1.0, cap / jnp.maximum(ft_norm, 1e-9))
+        ft = ft_raw * scale
+        fc = jnp.concatenate([ft, fz[..., None]], axis=-1)
+        # sliding: move the anchor so the spring alone reproduces the
+        # capped force (regularized stick-slip)
+        anchors = jnp.where(
+            (active[..., None] > 0) & (scale < 1.0),
+            xy + (ft + cfg.contact_kt * v_new[..., 0:2]) / cfg.contact_ks,
+            anchors0,
+        )
+
         base_pos = s.base_pos + h * nu_n[0:3]
         base_rot = lie.so3_exp(h * nu_n[3:6]) @ s.base_rot
         q = s.q + h * nu_n[6:]
         return (
-            RigidBodyState(base_rot, base_pos, q, nu_n, fc, anchors),
+            RigidBodyState(base_rot, base_pos, q, nu_n, fc, anchors, s_int),
             None,
         )
 
     state, _ = jax.lax.scan(substep, state, None, length=cfg.substeps)
+    return state
+
+
+def default_corners(n_feet: int = 2) -> np.ndarray:
+    """Physical sole corner table [nc,4,3] (the plant's foot geometry —
+    an ergoCub-class sole, wider than the MPC's conservative +-0.01 m
+    corner band, centroidal_mpc.ini:24-29)."""
+    return np.array(
+        [[[0.1, 0.05, 0.0], [0.1, -0.05, 0.0], [-0.08, -0.05, 0.0], [-0.08, 0.05, 0.0]]]
+        * n_feet
+    )
+
+
+def settle(
+    cfg: RigidBodyConfig,
+    model: kin.RobotModel,
+    state: RigidBodyState,
+    q_cmd: jnp.ndarray,
+    dt: float,
+    n_steps: int,
+    sole_frames: tuple = ("l_sole", "r_sole"),
+    corners_local: np.ndarray | None = None,
+) -> RigidBodyState:
+    """Let the plant sink onto the penalty contact while the PD servos hold
+    `q_cmd` (the Gazebo 'spawn then wait' phase before the controller
+    starts, dockerfiles/centroidal-mpc.yml:44-52)."""
+
+    def body(s, _):
+        return (
+            dynamics_step(cfg, model, s, q_cmd, dt, sole_frames, corners_local),
+            None,
+        )
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state

@@ -56,7 +56,7 @@ def test_free_fall_com_acceleration(model):
     """Airborne, unactuated: CoM must accelerate at exactly -g."""
     q, base_rot, base_pos = _posed(model, base_z=5.0)
     cfg = rb.RigidBodyConfig(
-        substeps=1, servo_kp=0.0, servo_kd=0.0, joint_damping=0.0, armature=0.0
+        substeps=1, servo_kp=0.0, servo_kd=0.0, servo_ki=0.0, joint_damping=0.0, armature=0.0
     )
     s = rb.initial_state(model, q, base_rot, base_pos)
     rng = np.random.default_rng(2)
@@ -88,7 +88,7 @@ def test_passive_energy_conservation(model):
     0.1 s of tumbling."""
     q, base_rot, base_pos = _posed(model, base_z=5.0)
     cfg = rb.RigidBodyConfig(
-        substeps=1, servo_kp=0.0, servo_kd=0.0, joint_damping=0.0, armature=0.0
+        substeps=1, servo_kp=0.0, servo_kd=0.0, servo_ki=0.0, joint_damping=0.0, armature=0.0
     )
     s = rb.initial_state(model, q, base_rot, base_pos)
     rng = np.random.default_rng(3)

@@ -27,8 +27,8 @@ def test_sweep_chunked_matches_unchunked():
         ergocub_gazebo_v1(), kin.ergocub_approx(), load_mann_weights(MANN4)
     )
     s0, inputs = build_scenarios(ctl, batch=4, seconds=0.5, push_max=1.5)
-    lat_a, dz_a, trk_a, fin_a = _episode_metrics(ctl, s0, inputs, chunk=0)
-    lat_b, dz_b, trk_b, fin_b = _episode_metrics(ctl, s0, inputs, chunk=2)
+    lat_a, dz_a, trk_a, fin_a, *_ = _episode_metrics(ctl, s0, inputs, chunk=0)
+    lat_b, dz_b, trk_b, fin_b, *_ = _episode_metrics(ctl, s0, inputs, chunk=2)
     np.testing.assert_allclose(np.asarray(lat_a), np.asarray(lat_b), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dz_a), np.asarray(dz_b), rtol=1e-5)
     # com_meas runs the full FK chain — lax.map vs vmap fuse/accumulate in
