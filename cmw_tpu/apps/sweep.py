@@ -52,6 +52,14 @@ def main(argv=None):
         "large pushes, which is the regime where footstep adjustment matters",
     )
     p.add_argument(
+        "--vx",
+        type=float,
+        default=None,
+        help="commanded forward velocity (default: 0.8 adherent, 0.0 rigid "
+        "— the physical gait steps in place while pushed, matching the "
+        "paper's push-recovery protocol)",
+    )
+    p.add_argument(
         "--rigid",
         action="store_true",
         help="run the scenarios on the full rigid-body dynamics plant "
@@ -108,6 +116,7 @@ def main(argv=None):
         cfg = ergocub_gazebo_v1(mpc=mpc, **kw)
         ctl = WalkingController(cfg, model, weights)
         t = time.perf_counter()
+        vx = args.vx if args.vx is not None else (0.0 if args.rigid else 0.8)
         stats = run_sweep(
             ctl,
             batch=args.batch,
@@ -117,6 +126,7 @@ def main(argv=None):
             chunk=args.chunk,
             per_scenario=args.per_scenario,
             push_duration=args.push_duration,
+            vx=vx,
         )
         wall = time.perf_counter() - t
         stats.update(

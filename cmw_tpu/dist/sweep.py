@@ -24,6 +24,7 @@ def build_scenarios(
     seconds: float,
     push_max: float,
     push_duration: float = 0.4,
+    vx: float = 0.8,
 ):
     """B push scenarios: magnitude in [-push_max, push_max], window of
     `push_duration` s starting at 0.6 s, alternating x/y direction.
@@ -36,7 +37,7 @@ def build_scenarios(
     cfg = ctl.cfg
     S = int(round(seconds / cfg.wbc_dt))
     S = max(cfg.mpc_every, S - S % cfg.mpc_every)  # block-align for run_episode_blocked
-    base = constant_inputs(S, (0.8, 0.0, 1.0, 0.0))
+    base = constant_inputs(S, (vx, 0.0, 1.0, 0.0))
     mags = jnp.linspace(-push_max, push_max, batch)
     dirs = jnp.stack(
         [jnp.where(jnp.arange(batch) % 2 == 0, 1.0, 0.0), jnp.where(jnp.arange(batch) % 2 == 0, 0.0, 1.0)],
@@ -167,8 +168,9 @@ def run_sweep(
     chunk: int = 512,
     per_scenario: bool = False,
     push_duration: float = 0.4,
+    vx: float = 0.8,
 ) -> dict:
-    s0, inputs = build_scenarios(ctl, batch, seconds, push_max, push_duration)
+    s0, inputs = build_scenarios(ctl, batch, seconds, push_max, push_duration, vx)
 
     if use_mesh:
         devs = jax.devices()

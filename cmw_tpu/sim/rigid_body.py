@@ -54,13 +54,26 @@ class RigidBodyConfig:
     contact_kp: float = 6.0e4  # N/m per corner
     contact_kd: float = 3.0e3  # N s/m per corner
     contact_mu: float = 0.8  # plant-side friction (> MPC's 0.33 margin)
-    contact_ks: float = 1.0e4  # N/m tangential anchor-spring (static friction)
-    contact_kt: float = 3.0e2  # N s/m tangential damping
+    # tangential anchor-spring stiffness: must be high enough that stance
+    # feet do not measurably creep under the gait's ~100 N shear loads —
+    # at 1e4 the ~1 cm/step creep compounds through the planned-pose
+    # odometry re-anchoring into a backward-treadmill ratchet (the
+    # stabilizer reads the slip as "ZMP ahead of plan" and accelerates the
+    # plan forward, increasing the slip). 1e5 => ~1 mm creep. Stable at
+    # h = 1 ms thanks to the implicit velocity update.
+    contact_ks: float = 1.0e5  # N/m tangential anchor-spring (static friction)
+    contact_kt: float = 6.0e2  # N s/m tangential damping
     # joint position PID (the Gazebo PID analog, dockerfiles/
     # icub-models.patch). The integral term is load-bearing: a pure PD
     # sags 3-10 deg under gravity torque, which physically tips the robot
     # onto its heel edges during the initial CoM-height squat (measured:
     # lean reaches 13 deg within 0.6 s and the gait never recovers).
+    # kp is the reference's patched Gazebo leg PID (icub-models.patch:
+    # kp 50.453 Nm/deg => ~2890 Nm/rad). kd/ki are retuned for our
+    # approximate inertias: the patch's kd (~10 Nm s/rad) underdamps this
+    # model (measured: growing stepping excursions), and its ki (~10)
+    # takes seconds to cancel gravity sag, which the gait-start squat
+    # cannot afford.
     servo_kp: float = 3000.0  # N m/rad
     servo_kd: float = 30.0  # N m s/rad
     servo_ki: float = 4000.0  # N m/(rad s)

@@ -67,7 +67,7 @@ def test_rigid_step_in_place(ctl):
     # bounded tilt at all times and a recovery peak near the end (the
     # support-exchange excursions come and go at the stepping period)
     assert up.min() > 0.8, up.min()  # bounded tilt at all times (falls hit <0.2)
-    assert up[-300:].max() > 0.95, up[-300:].max()
+    assert up[-300:].max() > 0.9, up[-300:].max()
     assert bz.min() > 0.65, bz.min()  # no collapse
     assert np.asarray(tel.foot_contact).sum(1).min() >= 1.0
 
