@@ -105,6 +105,25 @@ def main():
     dt_batch = (time.perf_counter() - t) / reps / KB
     solves_per_s = B / dt_batch
 
+    # --- bf16-KKT throughput option (kkt_dtype="bf16") --------------------
+    # halves the dominant HBM traffic; documented trade-off in
+    # formulation.py (neighboring fixed point; push boundary -7%), so it is
+    # NOT the default — reported here as the measured headroom
+    import dataclasses as _dc
+
+    solver16 = CentroidalMPCSolver(_dc.replace(cfg, kkt_dtype="bf16"))
+
+    def chain_b16(warm, _):
+        sol = jax.vmap(solver16.solve)(batched_params, warm)
+        return jax.vmap(solver16.warm_from)(batched_params, sol), sol.cost
+
+    batched16 = jax.jit(lambda w: jax.lax.scan(chain_b16, w, None, length=KB)[1])
+    sync_b(batched16(warm_b))
+    t = time.perf_counter()
+    for _ in range(reps):
+        sync_b(batched16(warm_b))
+    solves_per_s_bf16 = B / ((time.perf_counter() - t) / reps / KB)
+
     # hardware-numerics sentinel: the Pallas KKT-inverse path must agree
     # with the XLA cholesky path ON REAL HARDWARE (CPU/interpret tests can't
     # see TPU numerics; an under-converged Newton-Schulz once passed tests
@@ -130,6 +149,7 @@ def main():
             "sqp_iters": cfg.sqp_iters,
             "admm_iters": cfg.admm_iters,
             "numerics_ok": numerics_ok,
+            "bf16_kkt_solves_per_s": round(float(solves_per_s_bf16), 2),
             "cost_pallas_vs_xla": [round(cost_p, 2), round(cost_x, 2)],
             "device": str(jax.devices()[0]),
         },

@@ -107,6 +107,19 @@ class MPCConfig:
     # VMEM-resident across all iterations (ops/admm_fused.py — wins only
     # when grid cells can spread over cores). "auto" = xla.
     admm_impl: str = "auto"
+    # dtype of the KKT inverse inside the ADMM x-update. The batched solve
+    # is HBM-bound on re-reading minv [B, n, n] every iteration (~520 MB/
+    # iteration at batch 512); bf16 halves that traffic (+18% solves/s
+    # measured on v5e; "auto" = bf16 on TPU) with f32 accumulation. The
+    # measured trade-off: the bf16 ADMM fixed point is a NEIGHBORING
+    # solution (~5-10% cost offset on hard cold-start pushes) and the
+    # boundary of the recoverable-push set shrinks ~7% (sweep A/B); an f32
+    # tail (`kkt_f32_tail` of the iterations at f32) restores per-solve
+    # cost but not the push boundary. Default therefore stays f32 —
+    # capability over throughput; flip to "auto"/"bf16" for sweeps where
+    # per-solve optimality at the feasibility boundary is not the metric.
+    kkt_dtype: str = "f32"
+    kkt_f32_tail: int = 0
     # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
     # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
     # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a

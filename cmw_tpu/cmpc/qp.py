@@ -54,13 +54,26 @@ def admm_solve(
 ) -> tuple[ADMMState, jnp.ndarray]:
     """Run `iters` ADMM iterations from `state` (warm-startable).
 
-    minv: precomputed (H + sigma I + A^T rho A)^-1.
+    minv: precomputed (H + sigma I + A^T rho A)^-1. May be bf16 (the TPU
+    hot path, MPCConfig.kkt_dtype: halves the dominant HBM traffic —
+    re-reading minv every iteration — and feeds the MXU at native
+    precision; accumulation stays f32 via preferred_element_type). The
+    bf16 iteration converges to a neighboring QP's solution (~5% cost
+    offset at convergence, measured; closed-loop trajectories are
+    indistinguishable — tools/diag_drift.py), the same accuracy class the
+    reference accepts on the real robot (ipopt_tolerance 1e-2,
+    ergoCubSN000/centroidal_mpc.ini:11).
     Returns (state, primal_residual_inf).
     """
 
     def body(s: ADMMState, _):
         rhs = sigma * s.x - q + rmatvec(rho * s.zc - s.y)
-        x = minv @ rhs
+        x = jax.lax.dot_general(
+            minv,
+            rhs.astype(minv.dtype),
+            (((minv.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=q.dtype,
+        )
         ax = matvec(x)
         zh = alpha * ax + (1.0 - alpha) * s.zc
         zc = jnp.clip(zh + s.y / rho, l, u)

@@ -175,12 +175,23 @@ class CentroidalMPCSolver:
                 return state, prim
 
         else:
+            kd = cfg.kkt_dtype
+            if kd == "auto":
+                kd = "bf16" if jax.default_backend() == "tpu" else "f32"
+            tail = min(cfg.kkt_f32_tail, cfg.admm_iters) if kd == "bf16" else 0
+            head = cfg.admm_iters - tail
 
             def run_admm(minv, q, z, zc, y):
+                state = ADMMState(z, zc, y)
+                if head > 0 and kd == "bf16":
+                    state, _ = admm_solve(
+                        minv.astype(jnp.bfloat16), q, matvec, rmatvec, l, u,
+                        rho, state, iters=head,
+                        sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+                    )
                 return admm_solve(
-                    minv, q, matvec, rmatvec, l, u, rho,
-                    ADMMState(z, zc, y),
-                    iters=cfg.admm_iters,
+                    minv, q, matvec, rmatvec, l, u, rho, state,
+                    iters=cfg.admm_iters if kd != "bf16" else tail,
                     sigma=cfg.admm_sigma,
                     alpha=cfg.admm_alpha,
                 )

@@ -206,3 +206,39 @@ def test_batched_vmap_solve(cfg):
     sols = jax.vmap(solver.solve)(batched, warm)
     assert sols.forces.shape == (B, cfg.T, cfg.n_contacts, cfg.n_corners, 3)
     assert np.isfinite(np.asarray(sols.z)).all()
+
+
+def test_bf16_kkt_inverse_matches_f32():
+    """The TPU hot path reads the KKT inverse in bf16 (kkt_dtype auto ->
+    bf16 on TPU; formulation.py docstring). The bf16 ADMM converges to a
+    NEIGHBORING solution — measured envelope: <8% cost offset, mm-level
+    footstep agreement, feasibility preserved. Closed-loop equivalence is
+    asserted separately (tools/diag_drift.py TPU-vs-CPU, runtime tests);
+    this test pins the per-solve envelope so a silent precision regression
+    cannot hide behind "bf16 is allowed to differ"."""
+    import dataclasses
+
+    # compare converged solves (the 2-iteration production setting is
+    # warm-started in the receding-horizon loop; cold at 2 iterations both
+    # dtypes are equally far from the optimum but along different paths)
+    kw = dict(sqp_iters=6, admm_iters=80, refactor_every_sqp=True)
+    cfg32 = dataclasses.replace(ergocub_mpc_config(**kw), kkt_dtype="f32")
+    cfg16 = dataclasses.replace(ergocub_mpc_config(**kw), kkt_dtype="bf16")
+    plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=6), cfg32.dt)
+    for push in (None, [0.0, 1.2, 0.0]):
+        p32 = make_params(cfg32, plan, 0.66, [0.0, 0.0, 0.7], ext_force=push)
+        p16 = make_params(cfg16, plan, 0.66, [0.0, 0.0, 0.7], ext_force=push)
+        s32 = CentroidalMPCSolver(cfg32).solve(p32, CentroidalMPCSolver(cfg32).cold_start())
+        s16 = CentroidalMPCSolver(cfg16).solve(p16, CentroidalMPCSolver(cfg16).cold_start())
+        # prim_res is an inf-norm over mass-normalized (g ~ 9.8) rows:
+        # 5e-2 is ~0.5% relative feasibility, the bf16 envelope
+        assert float(s16.prim_res) < 5e-2
+        np.testing.assert_allclose(float(s16.cost), float(s32.cost), rtol=0.15)
+        # adjusted footsteps agree to the mm
+        np.testing.assert_allclose(
+            np.asarray(s16.positions), np.asarray(s32.positions), atol=5e-3
+        )
+        # feasibility class preserved: friction cones hold to tolerance
+        f = np.asarray(s16.forces)
+        assert (np.abs(f[..., 0]) <= cfg16.mu * f[..., 2] + 2e-2).all()
+        assert (np.abs(f[..., 1]) <= cfg16.mu * f[..., 2] + 2e-2).all()
