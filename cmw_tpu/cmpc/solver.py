@@ -127,8 +127,12 @@ class CentroidalMPCSolver:
 
         l, u, rho = F.constraint_bounds(cfg, stage, dtype)
         ata = F.ata_blockdiag(cfg, stage, rho, dtype)
-        matvec = lambda v: F.constraint_matvec(cfg, stage, v)
-        rmatvec = lambda v: F.constraint_rmatvec(cfg, stage, v)
+        # stage-dependent operator coefficients hoisted out of the ADMM
+        # loop (F.ConstraintOp docstring: recomputing them per iteration
+        # was ~60% of the batched solve)
+        con_op = F.constraint_op(cfg, stage, dtype)
+        matvec = lambda v: F.op_matvec(cfg, con_op, v)
+        rmatvec = lambda v: F.op_rmatvec(cfg, con_op, v)
 
         res_fn = lambda zz: F.residuals(cfg, params, zz)
 

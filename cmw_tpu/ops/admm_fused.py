@@ -3,14 +3,15 @@
 The XLA ADMM loop (cmpc/qp.py `admm_solve`) re-reads the [n, n] KKT inverse
 from HBM on every iteration: with n=504 and 24 iterations that is ~25 MB of
 HBM traffic per scenario per SQP iteration — the single largest cost in the
-batched solve (measured ~1.5 ms/iteration for a 512-batch on v5e).
+batched solve; the rest of the iteration body fragments into many small
+kernels whose fixed launch cost dominates at batch scale.
 
 This kernel runs ALL iterations inside one grid cell with the KKT inverse
 `minv` [n, n] and the densified constraint matrix `A` [m, n]
 (formulation.constraint_dense) VMEM-resident, so each matrix is read from
-HBM exactly once per solve. Per iteration the update is two A-GEMVs and one
-minv-GEMV plus elementwise clip/dual steps (the OSQP-style scheme of
-qp.admm_solve, bit-for-bit the same math):
+HBM exactly once per solve, and the whole loop is one kernel. Per iteration
+the update is two A-GEMMs and one minv-GEMM plus elementwise clip/dual
+steps (the OSQP-style scheme of qp.admm_solve, bit-for-bit the same math):
 
     rhs = sigma x - q + A^T (rho zc - y)
     x   = minv rhs
@@ -19,9 +20,15 @@ qp.admm_solve, bit-for-bit the same math):
     zc  = clip(zh + y/rho, l, u)
     y   = y + rho (zh - zc)
 
+MXU shape: vectors are carried as 8 REPLICATED sublane rows ([8, n] blocks)
+so every dot is an (8, n) x (n, n) matmul — the minimum efficient MXU tile
+— instead of a (1, n) GEMV, which Mosaic lowers to the (much slower) VPU
+and which violates the (8, 128) block-divisibility rule outright. The 8x
+redundant vector FLOPs are noise next to the matrix reads.
+
 Shapes are padded to lane multiples (128) at the call site; all padding is
 zeros (pad rho_inv = 0) so padded entries stay identically zero through the
-iteration. Batched via the grid; `jax.vmap` of the wrapper adds a grid axis.
+iteration. Batched via the grid.
 
 Replaces the inner QP loop of the reference's CasADi `sqpmethod` / osqp
 (centroidal_mpc.ini:13-15) on the TPU hot path.
@@ -37,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+SUB = 8  # replicated sublane rows per vector
 
 
 def _pad_to(x, size, axis):
@@ -53,39 +61,39 @@ def _kernel(iters, sigma, alpha, minv_ref, a_ref, q_ref, l_ref, u_ref,
             x_out, zc_out, y_out):
     Minv = minv_ref[0]  # [np, np] (symmetric)
     A = a_ref[0]  # [mp, np]
-    q = q_ref[...]  # [1, np]
-    l = l_ref[...]  # [1, mp]
-    u = u_ref[...]
-    rho = rho_ref[...]
-    rinv = rinv_ref[...]
+    q = q_ref[0]  # [SUB, np] (replicated rows)
+    l = l_ref[0]  # [SUB, mp]
+    u = u_ref[0]
+    rho = rho_ref[0]
+    rinv = rinv_ref[0]
 
     def body(_, carry):
-        x, zc, y = carry  # [1, np], [1, mp], [1, mp]
+        x, zc, y = carry  # [SUB, np], [SUB, mp], [SUB, mp]
         w = rho * zc - y
         atw = jax.lax.dot_general(
             w, A, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [1, np]
+        )  # [SUB, np]
         rhs = sigma * x - q + atw
         x = jax.lax.dot_general(
             rhs, Minv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [1, np] (Minv symmetric)
+        )  # [SUB, np] (Minv symmetric)
         ax = jax.lax.dot_general(
             x, A, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [1, mp]
+        )  # [SUB, mp]
         zh = alpha * ax + (1.0 - alpha) * zc
         zc = jnp.clip(zh + y * rinv, l, u)
         y = y + rho * (zh - zc)
         return x, zc, y
 
     x, zc, y = jax.lax.fori_loop(
-        0, iters, body, (x0_ref[...], zc0_ref[...], y0_ref[...])
+        0, iters, body, (x0_ref[0], zc0_ref[0], y0_ref[0])
     )
-    x_out[...] = x
-    zc_out[...] = zc
-    y_out[...] = y
+    x_out[0] = x
+    zc_out[0] = zc
+    y_out[0] = y
 
 
 @functools.partial(
@@ -106,25 +114,30 @@ def admm_fused_pallas(minv, A, q, l, u, rho, x0, zc0, y0,
 
     minv = _pad_to(_pad_to(minv, npad, 1), npad, 2)
     A = _pad_to(_pad_to(A, mpad, 1), npad, 2)
-    q = _pad_to(q, npad, 1)
-    x0 = _pad_to(x0, npad, 1)
-    l = _pad_to(l, mpad, 1)
-    u = _pad_to(u, mpad, 1)
-    rho_p = _pad_to(rho, mpad, 1)
-    # pad 1/rho with zeros so padded zc stays pinned at clip(0, 0, 0) = 0
-    rinv = _pad_to(1.0 / rho, mpad, 1)
-    zc0 = _pad_to(zc0, mpad, 1)
-    y0 = _pad_to(y0, mpad, 1)
 
-    vec_n = pl.BlockSpec((1, npad), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    vec_m = pl.BlockSpec((1, mpad), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    def rep(v, size):
+        v = _pad_to(v, size, 1)
+        return jnp.broadcast_to(v[:, None, :], (B, SUB, size))
+
+    q_r = rep(q, npad)
+    x0_r = rep(x0, npad)
+    l_r = rep(l, mpad)
+    u_r = rep(u, mpad)
+    rho_r = rep(rho, mpad)
+    # pad 1/rho with zeros so padded zc stays pinned at clip(0, 0, 0) = 0
+    rinv_r = rep(1.0 / rho, mpad)
+    zc0_r = rep(zc0, mpad)
+    y0_r = rep(y0, mpad)
+
+    vec_n = pl.BlockSpec((1, SUB, npad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    vec_m = pl.BlockSpec((1, SUB, mpad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
     x, zc, y = pl.pallas_call(
         functools.partial(_kernel, iters, sigma, alpha),
         out_shape=(
-            jax.ShapeDtypeStruct((B, npad), minv.dtype),
-            jax.ShapeDtypeStruct((B, mpad), minv.dtype),
-            jax.ShapeDtypeStruct((B, mpad), minv.dtype),
+            jax.ShapeDtypeStruct((B, SUB, npad), minv.dtype),
+            jax.ShapeDtypeStruct((B, SUB, mpad), minv.dtype),
+            jax.ShapeDtypeStruct((B, SUB, mpad), minv.dtype),
         ),
         grid=(B,),
         in_specs=[
@@ -142,5 +155,5 @@ def admm_fused_pallas(minv, A, q, l, u, rho, x0, zc0, y0,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(minv, A, q, l, u, rho_p, rinv, x0, zc0, y0)
-    return x[:, :n], zc[:, :m], y[:, :m]
+    )(minv, A, q_r, l_r, u_r, rho_r, rinv_r, x0_r, zc0_r, y0_r)
+    return x[:, 0, :n], zc[:, 0, :m], y[:, 0, :m]
