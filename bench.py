@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: batched centroidal-MPC solves/s on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Baseline: the reference solves one 555-var CasADi/IPOPT NLP per MPC tick on a
 CPU within a 60 ms budget (16.7 solves/s, BASELINE.md "implied per-solve
 budget"); vs_baseline is our TPU solves/s relative to that.
+
+Structure (round-2 fix, VERDICT.md item 1): the headline JSON line is printed
+immediately after the single batched measurement — ONE cold compile before any
+output, everything else (latency chain, bf16 option, Pallas-vs-XLA numerics
+sentinel) runs AFTER the line is out and only under CMW_BENCH_FULL=1, appended
+to the same line's file copy `BENCH_EXTRA.json` instead of stdout. A timeout
+mid-extras can no longer erase the scoreboard.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -23,6 +31,7 @@ enable_persistent_cache()
 from cmw_tpu.cmpc import CentroidalMPCSolver, ergocub_mpc_config
 from cmw_tpu.core import contacts
 from cmw_tpu.core.centroidal import pack_state
+from cmw_tpu.cmpc import formulation as F
 from cmw_tpu.cmpc.formulation import MPCParams
 
 BASELINE_SOLVES_PER_S = 1.0 / 0.06  # reference: one solve per 60 ms MPC tick
@@ -45,40 +54,14 @@ def make_params(cfg, plan, t0, push):
 
 
 def main():
-    # CMW_PROFILE=<dir>: capture a jax.profiler trace of the batched section
-    # (SURVEY §5.1 — the reference only has manual chrono spans; we get the
-    # full XLA op timeline).
     profile_dir = os.environ.get("CMW_PROFILE", "")
+    full = os.environ.get("CMW_BENCH_FULL", "") == "1"
     cfg = ergocub_mpc_config()
     solver = CentroidalMPCSolver(cfg)
     plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=8), cfg.dt)
-
     base = make_params(cfg, plan, 1.02, jnp.zeros(3))
 
-    # NB: under the axon tunnel block_until_ready does not imply completion;
-    # pulling a scalar to the host is the reliable sync.
-    sync = lambda out: float(out.cost.sum())
-
-    # --- single-solve on-device latency: chain K warm-started solves in one
-    # dispatch (receding-horizon shape), divide out the tunnel round-trip ----
-    K = 10
-
-    def chain(warm, _):
-        sol = solver.solve(base, warm)
-        return solver.warm_from(base, sol), sol.cost
-
-    chained = jax.jit(lambda w: jax.lax.scan(chain, w, None, length=K)[1])
-    w0 = solver.cold_start()
-    float(chained(w0).sum())
-    lat = []
-    for _ in range(20):
-        t = time.perf_counter()
-        float(chained(w0).sum())
-        lat.append((time.perf_counter() - t) / K)
-    lat = np.array(lat)
-    warm = solver.cold_start()
-
-    # --- batched throughput ---------------------------------------------------
+    # --- headline: batched throughput (the ONLY cold compile before output) ---
     # Chain KB warm-started batched solves inside ONE dispatch (each item is a
     # receding-horizon chain — the production shape) so the ~24 ms axon-tunnel
     # round trip is amortized out and the number reflects device time.
@@ -93,8 +76,12 @@ def main():
         return jax.vmap(solver.warm_from)(batched_params, sol), sol.cost
 
     batched = jax.jit(lambda w: jax.lax.scan(chain_b, w, None, length=KB)[1])
+    # NB: under the axon tunnel block_until_ready does not imply completion;
+    # pulling a scalar to the host is the reliable sync.
     sync_b = lambda out: float(out.sum())
+    t_compile = time.perf_counter()
     sync_b(batched(warm_b))
+    compile_s = time.perf_counter() - t_compile
     reps = 5
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -105,10 +92,78 @@ def main():
     dt_batch = (time.perf_counter() - t) / reps / KB
     solves_per_s = B / dt_batch
 
-    # --- bf16-KKT throughput option (kkt_dtype="bf16") --------------------
-    # halves the dominant HBM traffic; documented trade-off in
-    # formulation.py (neighboring fixed point; push boundary -7%), so it is
-    # NOT the default — reported here as the measured headroom
+    # MFU/roofline estimate for the batched solve (VERDICT item 6): count the
+    # dominant dense-linear-algebra FLOPs per solve from the config. With
+    # refactor_every_sqp=False there is ONE KKT factorization per solve:
+    # Newton-Schulz = ns_iters × 2 matmuls (n×n) = ns·4n³, plus the
+    # Gauss-Newton H=JᵀJ build (2·nr·n²) and per-ADMM-iteration dense work
+    # (KKT-inverse apply 2n² + constraint matvec/rmatvec ≈ 4·m·n_op; the op
+    # is structured so this is an upper bound folded into 2n²+4mn_eff with
+    # n_eff≈n/8). This is the model-FLOP floor (vector ops excluded), so
+    # mfu_est is conservative.
+    n, m = cfg.n_vars, cfg.n_con
+    nr = int(
+        sum(np.prod(s.shape) for s in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda z: F.residuals(cfg, base, z), jnp.zeros(n))
+        ))
+    )
+    ns_iters = cfg.ns_iters
+    flops_per_solve = (
+        ns_iters * 4 * n**3                       # Newton-Schulz inverse
+        + 2 * nr * n * n                          # H = JᵀJ
+        + cfg.sqp_iters * cfg.admm_iters * (2 * n * n + 4 * m * (n // 8))
+    )
+    model_flops_per_s = flops_per_solve * solves_per_s
+    peak = 394e12 if "v5 lite" in str(jax.devices()[0]) else 459e12  # bf16 peak
+    mfu = model_flops_per_s / peak
+
+    result = {
+        "metric": "batched_mpc_solves_per_s",
+        "value": round(float(solves_per_s), 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
+        "extra": {
+            "batch": B,
+            "sqp_iters": cfg.sqp_iters,
+            "admm_iters": cfg.admm_iters,
+            "compile_s": round(compile_s, 1),
+            "model_flops_per_solve": int(flops_per_solve),
+            "mfu_est": round(float(mfu), 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result), flush=True)
+    if not full:
+        return
+
+    # ======== extras (CMW_BENCH_FULL=1 only; never printed to stdout) ========
+    extra = dict(result)
+
+    # single-solve on-device latency: chain K warm-started solves in one
+    # dispatch (receding-horizon shape), divide out the tunnel round-trip.
+    # 200 dispatches -> a real p99 (VERDICT item 8).
+    K = 10
+
+    def chain(warm, _):
+        sol = solver.solve(base, warm)
+        return solver.warm_from(base, sol), sol.cost
+
+    chained = jax.jit(lambda w: jax.lax.scan(chain, w, None, length=K)[1])
+    w0 = solver.cold_start()
+    float(chained(w0).sum())
+    lat = []
+    for _ in range(200):
+        t = time.perf_counter()
+        float(chained(w0).sum())
+        lat.append((time.perf_counter() - t) / K)
+    lat = np.array(lat)
+    extra["extra"]["single_solve_p50_ms"] = round(float(np.percentile(lat, 50) * 1e3), 3)
+    extra["extra"]["single_solve_p99_ms"] = round(float(np.percentile(lat, 99) * 1e3), 3)
+    extra["extra"]["latency_samples"] = len(lat)
+
+    # bf16-KKT throughput option (kkt_dtype="bf16"): halves the dominant HBM
+    # traffic; measured trade-off (push boundary -7%, formulation.py) keeps
+    # f32 the default — reported as headroom.
     import dataclasses as _dc
 
     solver16 = CentroidalMPCSolver(_dc.replace(cfg, kkt_dtype="bf16"))
@@ -122,39 +177,27 @@ def main():
     t = time.perf_counter()
     for _ in range(reps):
         sync_b(batched16(warm_b))
-    solves_per_s_bf16 = B / ((time.perf_counter() - t) / reps / KB)
+    extra["extra"]["bf16_kkt_solves_per_s"] = round(
+        float(B / ((time.perf_counter() - t) / reps / KB)), 2
+    )
 
-    # hardware-numerics sentinel: the Pallas KKT-inverse path must agree
-    # with the XLA cholesky path ON REAL HARDWARE (CPU/interpret tests can't
-    # see TPU numerics; an under-converged Newton-Schulz once passed tests
-    # while destabilizing the closed loop)
+    # hardware-numerics sentinel: the Pallas KKT-inverse path must agree with
+    # the XLA cholesky path ON REAL HARDWARE (an under-converged Newton-Schulz
+    # once passed CPU tests while destabilizing the closed loop). Gates
+    # tightened per VERDICT item 8: 0.5% cost, prim_res < 1e-2.
     solver_x = CentroidalMPCSolver(ergocub_mpc_config(inverse_impl="xla"))
     sol_p = solver.solve(base, solver.cold_start())
     sol_x = solver_x.solve(base, solver_x.cold_start())
     cost_p, cost_x = float(sol_p.cost), float(sol_x.cost)
-    numerics_ok = bool(
-        abs(cost_p - cost_x) <= 0.02 * (abs(cost_x) + 1.0)
-        and float(sol_p.prim_res) < 5e-2
+    extra["extra"]["numerics_ok"] = bool(
+        abs(cost_p - cost_x) <= 0.005 * (abs(cost_x) + 1.0)
+        and float(sol_p.prim_res) < 1e-2
     )
+    extra["extra"]["cost_pallas_vs_xla"] = [round(cost_p, 2), round(cost_x, 2)]
 
-    result = {
-        "metric": "batched_mpc_solves_per_s",
-        "value": round(float(solves_per_s), 2),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(float(solves_per_s / BASELINE_SOLVES_PER_S), 2),
-        "extra": {
-            "batch": B,
-            "single_solve_p50_ms": round(float(np.percentile(lat, 50) * 1e3), 3),
-            "single_solve_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 3),
-            "sqp_iters": cfg.sqp_iters,
-            "admm_iters": cfg.admm_iters,
-            "numerics_ok": numerics_ok,
-            "bf16_kkt_solves_per_s": round(float(solves_per_s_bf16), 2),
-            "cost_pallas_vs_xla": [round(cost_p, 2), round(cost_x, 2)],
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"), "w") as f:
+        json.dump(extra, f, indent=1)
+    print("full bench extras -> BENCH_EXTRA.json", file=sys.stderr)
 
 
 if __name__ == "__main__":
