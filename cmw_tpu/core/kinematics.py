@@ -389,16 +389,36 @@ def ergocub_approx() -> RobotModel:
     joints = []  # (name, parent_link_name, axis, origin_pos)
     links = {"root_link": (8.0, np.array([0.0, 0.0, 0.05]), box_inertia(8.0, 0.15, 0.25, 0.15))}
 
+    # Joint-axis conventions (calibrated against the reference's own data,
+    # not guessed): the axis signs below are the unique family (up to a
+    # global reflection fixed by the Gazebo spawn pitch) for which
+    #   (a) the hard-coded initial crouch (CentroidalMPCBlock.cpp:273-280)
+    #       yields FLAT soles with the base pitched -0.11 rad — matching the
+    #       reference world's spawn pose `0 0 0.78 0 -0.1 0`
+    #       (worlds/centroidal_mpc_ergoCubGazeboV1/world), sole tilt < 1.3
+    #       deg on both feet (exhaustive sign search over 2^6 x mirror);
+    #   (b) MANN's walking joint trajectories produce a sane gait through
+    #       this FK: swing clearance 5-9 cm, feet never cross (min
+    #       left-right sole spacing 0.16 m; the unmirrored variant dips to
+    #       0.00 m), forward stride.
+    # Right-side roll/yaw axes are mirrored (positive = abduction/external
+    # rotation on BOTH sides — the iCub/ergoCub convention, evidenced by the
+    # crouch's same-sign L/R hip_roll/hip_yaw/shoulder_roll values).
+    # With the old all-positive axes, MANN postures were kinematically
+    # inconsistent with flat feet: the leg-pitch angles don't sum to zero,
+    # so the IK's soft posture task rotated the BASE by up to 23 deg to
+    # compensate — the round-1 "lateral weight-transfer lag" rigid-plant
+    # falls all traced back to this.
     def leg(side, sgn):
         hip = np.array([0.0, sgn * 0.08, -0.05])
         joints.extend(
             [
-                (f"{side}_hip_pitch", "root_link", _Y, hip, (2.0, [0, 0, 0], box_inertia(2.0, 0.1, 0.1, 0.1))),
-                (f"{side}_hip_roll", f"{side}_hip_pitch_l", _X, np.zeros(3), (1.5, [0, 0, 0], box_inertia(1.5, 0.1, 0.1, 0.1))),
-                (f"{side}_hip_yaw", f"{side}_hip_roll_l", _Z, np.zeros(3), (3.5, [0, 0, -0.15], box_inertia(3.5, 0.1, 0.1, 0.3))),
-                (f"{side}_knee", f"{side}_hip_yaw_l", _Y, np.array([0.0, 0.0, -0.30]), (2.5, [0, 0, -0.14], box_inertia(2.5, 0.08, 0.08, 0.3))),
+                (f"{side}_hip_pitch", "root_link", -_Y, hip, (2.0, [0, 0, 0], box_inertia(2.0, 0.1, 0.1, 0.1))),
+                (f"{side}_hip_roll", f"{side}_hip_pitch_l", sgn * _X, np.zeros(3), (1.5, [0, 0, 0], box_inertia(1.5, 0.1, 0.1, 0.1))),
+                (f"{side}_hip_yaw", f"{side}_hip_roll_l", sgn * _Z, np.zeros(3), (3.5, [0, 0, -0.15], box_inertia(3.5, 0.1, 0.1, 0.3))),
+                (f"{side}_knee", f"{side}_hip_yaw_l", -_Y, np.array([0.0, 0.0, -0.30]), (2.5, [0, 0, -0.14], box_inertia(2.5, 0.08, 0.08, 0.3))),
                 (f"{side}_ankle_pitch", f"{side}_knee_l", _Y, np.array([0.0, 0.0, -0.30]), (0.8, [0, 0, 0], box_inertia(0.8, 0.07, 0.07, 0.07))),
-                (f"{side}_ankle_roll", f"{side}_ankle_pitch_l", _X, np.zeros(3), (0.9, [0.03, 0, -0.06], box_inertia(0.9, 0.2, 0.08, 0.04))),
+                (f"{side}_ankle_roll", f"{side}_ankle_pitch_l", -sgn * _X, np.zeros(3), (0.9, [0.03, 0, -0.06], box_inertia(0.9, 0.2, 0.08, 0.04))),
             ]
         )
 
@@ -407,8 +427,8 @@ def ergocub_approx() -> RobotModel:
         joints.extend(
             [
                 (f"{side}_shoulder_pitch", "torso_yaw_l", _Y, sh, (1.0, [0, 0, 0], box_inertia(1.0, 0.08, 0.08, 0.08))),
-                (f"{side}_shoulder_roll", f"{side}_shoulder_pitch_l", _X, np.zeros(3), (0.8, [0, 0, 0], box_inertia(0.8, 0.07, 0.07, 0.07))),
-                (f"{side}_shoulder_yaw", f"{side}_shoulder_roll_l", _Z, np.zeros(3), (1.5, [0, 0, -0.12], box_inertia(1.5, 0.06, 0.06, 0.24))),
+                (f"{side}_shoulder_roll", f"{side}_shoulder_pitch_l", sgn * _X, np.zeros(3), (0.8, [0, 0, 0], box_inertia(0.8, 0.07, 0.07, 0.07))),
+                (f"{side}_shoulder_yaw", f"{side}_shoulder_roll_l", sgn * _Z, np.zeros(3), (1.5, [0, 0, -0.12], box_inertia(1.5, 0.06, 0.06, 0.24))),
                 (f"{side}_elbow", f"{side}_shoulder_yaw_l", _Y, np.array([0.0, 0.0, -0.24]), (1.2, [0, 0, -0.12], box_inertia(1.2, 0.05, 0.05, 0.24))),
             ]
         )
@@ -471,6 +491,25 @@ def ergocub_approx() -> RobotModel:
     )
 
 
+#: Base pitch (rad) of the walk-ready crouch: the reference world spawns the
+#: robot at pose `0 0 0.78 0 -0.1 0` (centroidal_mpc_ergoCubGazeboV1/world);
+#: -0.11 is the grid-refined value minimizing sole tilt of
+#: `reference_initial_pose()` under the calibrated axis conventions above
+#: (max sole tilt 1.23 deg over both feet).
+CROUCH_BASE_PITCH = -0.11
+
+
+def walk_ready_pose():
+    """(q0 [26], base_rot [3,3]) of the reference's walk-ready crouch —
+    joints from `reference_initial_pose()`, base pitched by
+    `CROUCH_BASE_PITCH` so the soles are flat. This is the default start
+    configuration for closed-loop episodes (the reference both spawns the
+    Gazebo robot and seeds MANN from exactly this configuration)."""
+    cp, sp = np.cos(CROUCH_BASE_PITCH), np.sin(CROUCH_BASE_PITCH)
+    base_rot = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    return reference_initial_pose(), base_rot
+
+
 def reference_initial_pose() -> np.ndarray:
     """The reference's hard-coded initial joint configuration
     (CentroidalMPCBlock.cpp:273-280, same 26-joint order as
@@ -480,7 +519,9 @@ def reference_initial_pose() -> np.ndarray:
     Starting from this pose matters: it is inside the MANN training
     distribution, so the generator's first references are consistent with
     the robot's actual state (from zeros, the CoM reference jumps ~2.3 cm
-    forward at t=0 and the physical robot lurches)."""
+    forward at t=0 and the physical robot lurches). Use `walk_ready_pose()`
+    for the matching base orientation (the soles are flat only with the
+    base pitched by CROUCH_BASE_PITCH)."""
     return np.array(
         [
             # left leg / right leg

@@ -70,8 +70,20 @@ class GeneratorConfig:
         (-0.08, -0.03, 0.0),
         (-0.08, 0.03, 0.0),
     )
-    # blending of desired vs predicted future trajectory
-    desired_blend: float = 0.5
+    # blending of desired vs predicted future trajectory: the weight ramps
+    # linearly to `desired_blend` at the far end of the horizon. 1.0 (fully
+    # pinned to the joystick command at +0.8 s) halves the shipped nets'
+    # standstill drift vs 0.5 and leaves the walking gait unchanged
+    # (measured; the reference's own config history shows these nets are
+    # weakest at standing — mann.ini's commented model list includes
+    # "more-standing-data" / "4X-standing-data" retrains).
+    desired_blend: float = 1.0
+    # constant base pitch used in the generator's flat-ground FK: MANN's
+    # postures are only consistent with flat soles when the base is pitched
+    # by the walk-ready value (kin.CROUCH_BASE_PITCH; the reference world
+    # spawns at pitch -0.1). With 0.0 the soles tilt ~6 deg, corrupting the
+    # lowest-corner contact detection and the FK CoM.
+    base_pitch: float = -0.11
 
     @property
     def n_steps(self) -> int:
@@ -113,6 +125,24 @@ def _hist_len(cfg: GeneratorConfig) -> int:
     return N_PAST * cfg.past_stride
 
 
+def _base_rot(cfg: GeneratorConfig, yaw):
+    """Full base rotation for FK: yaw (tracked state) composed with the
+    constant walk-ready pitch (cfg.base_pitch)."""
+    yaw = jnp.asarray(yaw)
+    p = jnp.asarray(cfg.base_pitch, yaw.dtype)
+    z = jnp.zeros((), yaw.dtype)
+    o = jnp.ones((), yaw.dtype)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    pitch = jnp.stack(
+        [
+            jnp.stack([cp, z, sp]),
+            jnp.stack([z, o, z]),
+            jnp.stack([-sp, z, cp]),
+        ]
+    )
+    return lie.rotz(yaw) @ pitch
+
+
 def initial_state(
     cfg: GeneratorConfig,
     model: kin.RobotModel,
@@ -130,7 +160,7 @@ def initial_state(
     facing = jnp.stack([jnp.cos(base_yaw), jnp.sin(base_yaw)])
     fut = jnp.zeros((N_FUTURE, 6), dt).at[:, 2:4].set(jnp.asarray([1.0, 0.0], dt))
     # stance feet from FK at the initial pose
-    lR, lp = kin.fk(model, q, lie.rotz(base_yaw), jnp.concatenate([base_xy, jnp.zeros(1, dt)]))
+    lR, lp = kin.fk(model, q, _base_rot(cfg, base_yaw), jnp.concatenate([base_xy, jnp.zeros(1, dt)]))
     fR, fp = kin.frame_poses(model, lR, lp)
     l_idx, r_idx = model.frame_index("l_sole"), model.frame_index("r_sole")
     feet = []
@@ -210,13 +240,13 @@ def _parse_output(y):
     return fut, q, qd, extra
 
 
-def _base_height_for_stance(model: kin.RobotModel, q, yaw, stance_sel):
+def _base_height_for_stance(cfg: GeneratorConfig, model: kin.RobotModel, q, yaw, stance_sel):
     """Base z s.t. the lowest sole sits exactly on the ground — walking has
     no flight phase, so the stance foot is always the lower one. (The
     reference reconstructs the base from the support foot with its robot
     model; pinning the min-height sole is the flight-free equivalent.)"""
     del stance_sel
-    lR, lp = kin.fk(model, q, lie.rotz(yaw), jnp.zeros(3, q.dtype))
+    lR, lp = kin.fk(model, q, _base_rot(cfg, yaw), jnp.zeros(3, q.dtype))
     fR, fp = kin.frame_poses(model, lR, lp)
     zs = jnp.stack(
         [fp[model.frame_index("l_sole"), 2], fp[model.frame_index("r_sole"), 2]]
@@ -247,9 +277,9 @@ def step(
     vel_w = _rot_to_world(fut[0, 4:6], s.base_yaw)
 
     # contact detection: Schmitt trigger on sole heights with hysteresis
-    z_base = _base_height_for_stance(model, q_new, base_yaw, s.contact)
+    z_base = _base_height_for_stance(cfg, model, q_new, base_yaw, s.contact)
     base_pos = jnp.concatenate([base_xy, z_base[None]])
-    lR, lp = kin.fk(model, q_new, lie.rotz(base_yaw), base_pos)
+    lR, lp = kin.fk(model, q_new, _base_rot(cfg, base_yaw), base_pos)
     fR, fp = kin.frame_poses(model, lR, lp)
     li, ri = model.frame_index("l_sole"), model.frame_index("r_sole")
     # lowest-corner height per foot (per-corner triggers, mann.ini:33-55):

@@ -49,6 +49,20 @@ class WalkingConfig:
     # with tools/diag_rigid.py). The initial reference mismatch is instead
     # decayed exponentially with this time constant. 0 disables.
     ref_ramp_tau: float = 0.4
+    # STAND MODE: with joystick motion below this threshold, freeze the
+    # MANN autoregression and hold the CoM reference over the stance
+    # centroid (runtime/loop._mpc_stage). The shipped MANN nets drift at
+    # standstill (trained on locomotion; the reference's mann.ini model
+    # history shows "more-standing-data" retrains for exactly this, and the
+    # production net it configures is not in the repo). The MPC still runs,
+    # so push recovery remains active while standing.
+    stand_mode: bool = True
+    stand_threshold: float = 0.05
+    # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
+    # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
+    # zero angular momentum instead — useful because our reconstruction of
+    # MANN's angular momentum goes through the approximate model's inertias)
+    ang_mom_ref_scale: float = 1.0
 
     @property
     def mpc_every(self) -> int:

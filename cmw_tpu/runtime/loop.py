@@ -116,6 +116,7 @@ class Telemetry(NamedTuple):
     base_act_up: jnp.ndarray  # [] cos(base tilt) = R_act[2,2] (rigid plant)
     base_act_lean: jnp.ndarray  # [2] world-z of base x/y axes (pitch/roll)
     fz_act: jnp.ndarray  # [nc] physical per-foot normal force sum (N)
+    com_act: jnp.ndarray  # [3] ground-truth plant CoM (== com_meas if no rigid)
 
 
 class WalkingController:
@@ -130,16 +131,75 @@ class WalkingController:
 
     # -- init -----------------------------------------------------------------
 
-    def initial_state(self, q0=None, dtype=jnp.float32) -> LoopState:
+    def polished_initial_pose(self, dtype=jnp.float32):
+        """The reference walk-ready crouch projected onto THIS model's
+        constraint manifold: starting from kin.walk_ready_pose (which has
+        residual sole tilts up to 1.2 deg — enough to spawn the rigid plant
+        on a foot EDGE and ratchet-slide sideways during settling), iterate
+        the production IK with targets 'both soles exactly flat on the
+        ground, CoM over the feet centroid, posture near the crouch'.
+        Cached per controller."""
+        if getattr(self, "_polished_pose", None) is not None:
+            return self._polished_pose
+        cfg, model = self.cfg, self.model
+        q0_np, rot_np = kin.walk_ready_pose()
+        q = jnp.asarray(q0_np, dtype)
+        base_rot = jnp.asarray(rot_np, dtype)
+        base_pos = jnp.zeros(3, dtype)
+        li, ri = model.frame_index("l_sole"), model.frame_index("r_sole")
+        # flat-foot targets: keep each sole's initial xy + yaw, equalize
+        # heights (the base is placed so the soles touch the ground later)
+        lR, lp = kin.fk(model, q, base_rot, base_pos)
+        fR, fp = kin.frame_poses(model, lR, lp)
+        z_mean = 0.5 * (fp[li, 2] + fp[ri, 2])
+        foot_pos_t = jnp.stack(
+            [fp[li].at[2].set(z_mean), fp[ri].at[2].set(z_mean)]
+        )
+        foot_rot_t = jnp.stack(
+            [lie.rotz(lie.yaw_of(fR[li])), lie.rotz(lie.yaw_of(fR[ri]))]
+        )
+        com_xy_t = foot_pos_t[:, 0:2].mean(axis=0)
+        targets = IKTargets(
+            foot_rot=foot_rot_t,
+            foot_pos=foot_pos_t,
+            foot_lin_vel=jnp.zeros((2, 3), dtype),
+            foot_ang_vel=jnp.zeros((2, 3), dtype),
+            com_xy=com_xy_t,
+            dcom_xy=jnp.zeros(2, dtype),
+            root_z=base_pos[2],  # overwritten per-iteration below
+            droot_z=jnp.zeros((), dtype),
+            chest_rot=jnp.eye(3, dtype=dtype),
+            q_reg=q,
+        )
+        h = 0.05
+        for _ in range(60):
+            lR, lp = kin.fk(model, q, base_rot, base_pos)
+            targets = targets._replace(root_z=base_pos[2])  # keep root height
+            nu = solve_ik(model, q, base_rot, base_pos, targets, cfg.ik)
+            base_rot, base_pos = lie.integrate_mixed_velocity(
+                base_rot, base_pos, nu[0:3], nu[3:6], h
+            )
+            q = q + h * nu[6:]
+        self._polished_pose = (q, base_rot)
+        return self._polished_pose
+
+    def initial_state(self, q0=None, base_rot0=None, dtype=jnp.float32) -> LoopState:
+        """Default start = the reference's walk-ready crouch + pitched base
+        (kin.walk_ready_pose: the Gazebo spawn pose AND the configuration
+        the reference seeds MANN with, CentroidalMPCBlock.cpp:271-370).
+        Pass q0 explicitly (e.g. zeros) to start elsewhere."""
         cfg, model = self.cfg, self.model
         nj = model.nj
+        if q0 is None and base_rot0 is None:
+            q0, base_rot0 = self.polished_initial_pose(dtype)
         q0 = jnp.zeros(nj, dtype) if q0 is None else q0
-        # place the base so the soles touch the ground
-        lR, lp = kin.fk(model, q0, jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype))
+        base_rot0 = jnp.eye(3, dtype=dtype) if base_rot0 is None else base_rot0
+        # place the base so the lower sole touches the ground
+        lR, lp = kin.fk(model, q0, base_rot0, jnp.zeros(3, dtype))
         fR, fp = kin.frame_poses(model, lR, lp)
         li, ri = model.frame_index("l_sole"), model.frame_index("r_sole")
-        base_pos = jnp.asarray([0.0, 0.0, -fp[li, 2]], dtype)
-        lR, lp = kin.fk(model, q0, jnp.eye(3, dtype=dtype), base_pos)
+        base_pos = jnp.asarray([0.0, 0.0, -jnp.minimum(fp[li, 2], fp[ri, 2])], dtype)
+        lR, lp = kin.fk(model, q0, base_rot0, base_pos)
         fR, fp = kin.frame_poses(model, lR, lp)
         com0 = kin.com(model, lR, lp)
         com_z_ref = (
@@ -149,13 +209,19 @@ class WalkingController:
         )
 
         # initial double-stance plan
+        # planned soles are flat on the ground: project the (slightly tilted,
+        # <1.3 deg at the crouch) FK sole poses to z=0 + yaw-only rotation
         plan = C.empty_plan(2, cfg.plan_phases, dtype)
         plan = plan._replace(
             act=plan.act.at[:, 0].set(0.0),
             deact=plan.deact.at[:, 0].set(C.BIG_TIME),
             valid=plan.valid.at[:, 0].set(1.0),
-            pos=plan.pos.at[0, 0].set(fp[li]).at[1, 0].set(fp[ri]),
-            rot=plan.rot.at[0, 0].set(fR[li]).at[1, 0].set(fR[ri]),
+            pos=plan.pos.at[0, 0].set(fp[li].at[2].set(0.0)).at[1, 0].set(
+                fp[ri].at[2].set(0.0)
+            ),
+            rot=plan.rot.at[0, 0].set(lie.rotz(lie.yaw_of(fR[li]))).at[1, 0].set(
+                lie.rotz(lie.yaw_of(fR[ri]))
+            ),
         )
 
         stage = C.mpc_stage_params(plan, 0.0, cfg.mpc.T, cfg.mpc.dt, cfg.mpc.n_slots)
@@ -169,7 +235,18 @@ class WalkingController:
         # penalty contact holding q0, then bootstrap the centroidal
         # integrator from the *measured* (odometry) CoM — the reference's
         # first-iteration bootstrap (WholeBodyQPBlock.cpp:1037-1080)
-        rb0 = RB.initial_state(model, q0, jnp.eye(3, dtype=dtype), base_pos)
+        # spawn the plant pre-loaded: sink by the static penetration so the
+        # contact springs start carrying the weight instead of micro-bouncing
+        # (zero-penetration spawn re-anchors the friction springs on every
+        # bounce and the robot ratchet-slides during settling — measured)
+        sink = (
+            self.mass * 9.80665 / (8.0 * cfg.rigid.contact_kp)
+            if cfg.rigid is not None
+            else 0.0
+        )
+        rb0 = RB.initial_state(
+            model, q0, base_rot0, base_pos - jnp.asarray([0.0, 0.0, sink], dtype)
+        )
         if cfg.rigid is not None:
             n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
             rb0 = RB.settle(cfg.rigid, model, rb0, q0, cfg.wbc_dt, n_settle)
@@ -184,7 +261,7 @@ class WalkingController:
             tick=jnp.zeros((), jnp.int32),
             x9=pack_state(com0, jnp.zeros(3, dtype), jnp.zeros(3, dtype)),
             com_xy_int=com0[0:2],
-            base_rot=jnp.eye(3, dtype=dtype),
+            base_rot=base_rot0,
             base_pos=base_pos,
             q=q0,
             warm=self.solver.cold_start(dtype),
@@ -246,7 +323,7 @@ class WalkingController:
         else:
             ref_off = s.ref_off
         L_ref, _ = linear_spline(gen_times, outs.ang_mom, knot_times)
-        L_ref = L_ref / self.mass  # mass normalization (:525-529)
+        L_ref = L_ref * (cfg.ang_mom_ref_scale / self.mass)  # 1/m (:525-529)
 
         # 4. MANN contact plan (absolute times). Prepend the generator's
         #    state at the current time so the ongoing stance phase covers t
@@ -268,6 +345,30 @@ class WalkingController:
         # 5. merge with previous (adjusted) plan, snap to the MPC grid
         plan = C.merge_plans(mann_plan, s.plan, s.t)
         plan = C.snap_to_grid(plan, mpc.dt)
+
+        # STAND MODE: with a ~zero joystick command the shipped MANN nets
+        # drift (they were trained almost exclusively on locomotion — the
+        # reference's own mann.ini model history shows "more-standing-data"
+        # retrains addressing exactly this; the production net it configures
+        # is not shipped). When the commanded motion is below threshold,
+        # freeze the autoregression and hold the references at the stance
+        # centroid instead. The MPC still solves every tick, so push
+        # recovery (incl. step adjustment out of stand) stays active.
+        moving = jnp.linalg.norm(inp.joypad[0:2]) > cfg.stand_threshold
+        if cfg.stand_mode:
+            sel = lambda a, b: jnp.where(moving, a, b)
+            gen_next = jax.tree_util.tree_map(sel, gen_next, s.gen_state)
+            plan = jax.tree_util.tree_map(sel, plan, C.snap_to_grid(s.plan, mpc.dt))
+            # hold CoM over the active-contact centroid at reference height
+            act_now = C.mpc_stage_params(s.plan, s.t, 1, mpc.dt, mpc.n_slots)
+            w_act = act_now.active[:, 0]
+            pos_now = jnp.einsum(
+                "is,isx->ix", act_now.slot_onehot[:, 0, :], act_now.slot_pos_nom
+            )
+            feet_mid = (w_act[:, None] * pos_now).sum(0) / jnp.maximum(w_act.sum(), 1.0)
+            com_hold = jnp.concatenate([feet_mid[0:2], s.com_z_ref[None]])
+            com_ref = sel(com_ref, jnp.broadcast_to(com_hold, com_ref.shape))
+            L_ref = sel(L_ref, jnp.zeros_like(L_ref))
 
         # 6. solve the MPC from the integrated state (adherent loop)
         stage = C.mpc_stage_params(plan, s.t, mpc.T, mpc.dt, mpc.n_slots)
@@ -301,8 +402,23 @@ class WalkingController:
             active0=stage.active[:, 0],
             zmp_des=zmp_des,
             gen_state=gen_next,
-            q_reg=outs.joints[0],
-            chest_yaw=outs.base_xy_yaw[0, 2],
+            # posture regularization: only the UPPER BODY (torso+neck+arms,
+            # tail 14) tracks MANN; the legs stay at the initial
+            # configuration (m_jointPosRegularize.tail<14>() = ...,
+            # WholeBodyQPBlock.cpp:975-979 — legs are fully constrained by
+            # the hard tasks, so MANN leg posture would only fight them)
+            q_reg=(
+                jnp.where(
+                    moving if cfg.stand_mode else True,
+                    jnp.concatenate([s.q_reg[0:12], outs.joints[0][12:26]]),
+                    s.q_reg,
+                )
+            ),
+            chest_yaw=(
+                jnp.where(moving, outs.base_xy_yaw[0, 2], s.chest_yaw)
+                if cfg.stand_mode
+                else outs.base_xy_yaw[0, 2]
+            ),
             mpc_cost=sol.cost,
             mpc_prim=sol.prim_res,
             ref_off=ref_off,
@@ -403,6 +519,14 @@ class WalkingController:
 
         feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
 
+        # chest set-point: orientation of the chest under the regularization
+        # configuration (measured base + q_reg), NOT a bare yaw rotation —
+        # the reference builds it from m_kinDynWithRegularization
+        # (WholeBodyQPBlock.cpp:1222,981-986)
+        rlR, rlp = kin.fk(model, s.q_reg, base_est_R, base_est_p)
+        rfR, _ = kin.frame_poses(model, rlR, rlp)
+        chest_rot_target = rfR[model.frame_index("chest")]
+
         targets = IKTargets(
             foot_rot=feet.rot,
             foot_pos=feet.pos,
@@ -412,10 +536,19 @@ class WalkingController:
             dcom_xy=v_cmd,
             root_z=com_des3[2] + s.root_z_off,
             droot_z=dcom_des3[2],
-            chest_rot=lie.rotz(s.chest_yaw),
+            chest_rot=chest_rot_target,
             q_reg=s.q_reg,
         )
-        nu = solve_ik(model, s.q, s.base_rot, s.base_pos, targets, cfg.ik)
+        # THE loop-closing detail of the reference architecture: the IK's
+        # kinematic state is the MEASURED base pose (legged odometry) with
+        # the DESIRED joint positions (m_kinDynWithDesired->setRobotState(
+        # m_baseTransform, m_desJointPos, ...), WholeBodyQPBlock.cpp:962-967)
+        # — task errors are therefore expressed relative to the physical
+        # robot, so commanded motion can never drift open-loop away from
+        # reality. With the desired base instead, the rigid plant diverges
+        # 5-10 cm from the command within two steps and the swing foot
+        # lands in the wrong physical place (measured).
+        nu = solve_ik(model, s.q, base_est_R, base_est_p, targets, cfg.ik)
         base_rot, base_pos = lie.integrate_mixed_velocity(
             s.base_rot, s.base_pos, nu[0:3], nu[3:6], dt
         )
@@ -465,6 +598,11 @@ class WalkingController:
                 rbs.base_rot[2, 0:2] if cfg.rigid is not None else base_rot[2, 0:2]
             ),
             fz_act=rbs.corner_forces[..., 2].sum(-1),
+            com_act=(
+                kin.com(model, *kin.fk(model, rbs.q, rbs.base_rot, rbs.base_pos))
+                if cfg.rigid is not None
+                else com_meas
+            ),
         )
         return s2, tel
 

@@ -93,15 +93,35 @@ class RigidBodyState(NamedTuple):
     servo_int: jnp.ndarray  # [nj] integral of the joint position error (N m)
 
 
-def initial_state(model: kin.RobotModel, q0, base_rot, base_pos, n_contacts=2, n_corners=4):
+def initial_state(
+    model: kin.RobotModel,
+    q0,
+    base_rot,
+    base_pos,
+    sole_frames: tuple = ("l_sole", "r_sole"),
+    corners_local: np.ndarray | None = None,
+):
     dt = q0.dtype
+    base_rot = jnp.asarray(base_rot, dt)
+    base_pos = jnp.asarray(base_pos, dt)
+    if corners_local is None:
+        corners_local = default_corners(len(sole_frames))
+    # friction anchors MUST start at the corners' actual world positions:
+    # with zeros, a spawn that already penetrates the ground (preloaded
+    # contact) drags every corner toward the world origin at the friction
+    # limit — measured as both feet sliding ~7 cm inward during settling
+    # with the hip-roll servos saturated.
+    link_R, link_p = kin.fk(model, q0, base_rot, base_pos)
+    pts, _ = corner_points_jacobians(
+        model, link_R, link_p, sole_frames, jnp.asarray(corners_local, dt)
+    )
     return RigidBodyState(
-        base_rot=jnp.asarray(base_rot, dt),
-        base_pos=jnp.asarray(base_pos, dt),
+        base_rot=base_rot,
+        base_pos=base_pos,
         q=q0,
         nu=jnp.zeros((6 + model.nj,), dt),
-        corner_forces=jnp.zeros((n_contacts, n_corners, 3), dt),
-        anchors=jnp.zeros((n_contacts, n_corners, 2), dt),
+        corner_forces=jnp.zeros(pts.shape, dt),
+        anchors=pts[..., 0:2],
         servo_int=jnp.zeros((model.nj,), dt),
     )
 
@@ -255,8 +275,11 @@ def corner_contact_forces(
     fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v_pts[..., 2], 0.0) * active
 
     xy = pts[..., 0:2]
-    # fresh contacts anchor at the touch-down point
-    anchors = jnp.where(active[..., None] > 0, anchors, xy)
+    # fresh contacts anchor at the touch-down point; reset per FOOT, not
+    # per corner (see dynamics_step — per-corner resets ratchet a rolling
+    # stance foot sideways)
+    foot_down = (active.max(axis=1) > 0)[:, None, None]
+    anchors = jnp.where(foot_down, anchors, xy)
     ft_raw = (-cfg.contact_ks * (xy - anchors) - cfg.contact_kt * v_pts[..., 0:2]) * active[..., None]
     ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
     cap = cfg.contact_mu * fz[..., None]
@@ -324,7 +347,15 @@ def dynamics_step(
         pen = jnp.maximum(-pts[..., 2], 0.0)
         active = (pen > 0.0).astype(dtp)
         xy = pts[..., 0:2]
-        anchors0 = jnp.where(active[..., None] > 0, s.anchors, xy)
+        # friction anchors reset per FOOT (all 4 corners airborne), not per
+        # corner: when a loaded foot rolls slightly, its lifted corners must
+        # re-grip at their OLD anchors on touch-back — per-corner resets
+        # ratchet the stance foot sideways a few mm per roll cycle, which
+        # the planned-pose odometry reads as a phantom CoM offset and the
+        # stabilizer amplifies into a fall (measured: 3 cm inward slide +
+        # 8 deg foot tilt within 0.25 s of the first single-support phase).
+        foot_down = (active.max(axis=1) > 0)[:, None, None]
+        anchors0 = jnp.where(foot_down, s.anchors, xy)
 
         # position-only force parts (velocity terms are implicit)
         fz0 = cfg.contact_kp * pen * active
@@ -371,16 +402,37 @@ def dynamics_step(
         v_new = jnp.einsum("ncxk,k->ncx", J_pts, nu_n)
         fz = jnp.maximum(fc[..., 2], 0.0) * active
         ft_raw = fc[..., 0:2]
-        ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
-        cap = cfg.contact_mu * fz[..., None]
-        scale = jnp.minimum(1.0, cap / jnp.maximum(ft_norm, 1e-9))
+        # Coulomb cap + stick-slip at the FOOT (contact patch) level, not
+        # per corner: a rigid foot's corners share one slip motion, but
+        # their normal loads oscillate as the foot rolls — per-corner caps
+        # make the momentarily unloaded corners' anchors creep one-by-one
+        # (distributed stick-slip, how parts walk across vibrating tables),
+        # ratcheting the stance foot ~3 cm sideways per gait cycle and
+        # stealing exactly the lateral ZMP authority the gait needs.
+        # Gazebo's ODE solves patch friction as one LCP; this is the
+        # penalty-method equivalent.
+        ft_foot = ft_raw.sum(axis=1)  # [nc, 2]
+        cap_foot = cfg.contact_mu * fz.sum(axis=1)  # [nc]
+        ft_foot_norm = jnp.linalg.norm(ft_foot, axis=-1)
+        scale = jnp.minimum(1.0, cap_foot / jnp.maximum(ft_foot_norm, 1e-9))[
+            :, None, None
+        ]
         ft = ft_raw * scale
         fc = jnp.concatenate([ft, fz[..., None]], axis=-1)
-        # sliding: move the anchor so the spring alone reproduces the
-        # capped force (regularized stick-slip)
+        # sliding: translate ALL the foot's anchors by the common slip so
+        # the springs alone reproduce the capped force (keeps the anchor
+        # pattern congruent — no per-corner ratchet)
+        # anchors move TOWARD the foot (opposite the spring force direction)
+        # by the excess stretch: |ft| drops to exactly the cap
+        slip = (
+            -(ft_foot / jnp.maximum(ft_foot_norm, 1e-9)[:, None])[:, None, :]
+            * ((1.0 - scale[..., 0]) * ft_foot_norm[:, None] / cfg.contact_ks / 4.0)[
+                :, :, None
+            ]
+        )
         anchors = jnp.where(
-            (active[..., None] > 0) & (scale < 1.0),
-            xy + (ft + cfg.contact_kt * v_new[..., 0:2]) / cfg.contact_ks,
+            (active.max(axis=1) > 0)[:, None, None] & (scale < 1.0),
+            anchors0 + slip,
             anchors0,
         )
 

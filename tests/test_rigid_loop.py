@@ -35,14 +35,18 @@ def ctl():
 
 def test_rigid_initial_state_settled(ctl):
     """The plant settles onto the contact during initial_state: feet loaded
-    with ~mg, base upright, bootstrap CoM consistent with the measured
-    kinematics (the reference's first-iteration bootstrap,
+    with ~mg, base at the walk-ready crouch orientation (pitched by
+    kin.CROUCH_BASE_PITCH — the Gazebo spawn pose), bootstrap CoM consistent
+    with the measured kinematics (the reference's first-iteration bootstrap,
     WholeBodyQPBlock.cpp:1037-1080)."""
     s0 = ctl.initial_state()
     mg = ctl.model.total_mass * 9.80665
     fz = float(jnp.sum(s0.rb.corner_forces[..., 2]))
     assert abs(fz - mg) / mg < 0.1, (fz, mg)
-    assert float(s0.rb.base_rot[2, 2]) > 0.999
+    # settled base within ~2 deg of the commanded crouch orientation
+    _, crouch_rot = kin.walk_ready_pose()
+    rel = np.asarray(s0.rb.base_rot) @ np.asarray(crouch_rot).T
+    assert rel[2, 2] > np.cos(np.radians(2.0)), rel
     assert float(jnp.abs(s0.rb.nu).max()) < 0.1
     # x9 bootstrap = odometry CoM of the settled plant
     assert abs(float(s0.x9[2]) - float(s0.rb.base_pos[2]) + float(s0.root_z_off)) < 0.03
