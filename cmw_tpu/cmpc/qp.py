@@ -59,10 +59,11 @@ def admm_solve(
     re-reading minv every iteration — and feeds the MXU at native
     precision; accumulation stays f32 via preferred_element_type). The
     bf16 iteration converges to a neighboring QP's solution (~5% cost
-    offset at convergence, measured; closed-loop trajectories are
-    indistinguishable — tools/diag_drift.py), the same accuracy class the
-    reference accepts on the real robot (ipopt_tolerance 1e-2,
-    ergoCubSN000/centroidal_mpc.ini:11).
+    offset at convergence) and MEASURABLY shrinks the recoverable-push
+    boundary by ~7% in closed loop (formulation.py kkt_dtype docstring,
+    RESULTS.md) — which is why f32 stays the default; the trade is the
+    accuracy class the reference accepts on the real robot
+    (ipopt_tolerance 1e-2, ergoCubSN000/centroidal_mpc.ini:11).
     Returns (state, primal_residual_inf).
     """
 

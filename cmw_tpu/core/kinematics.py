@@ -380,7 +380,28 @@ _X, _Y, _Z = np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), np.array([0, 0, 1.0])
 
 def ergocub_approx() -> RobotModel:
     """26-joint approximate ergoCub: legs (6 DoF each), torso (3), neck (3),
-    arms (4 each). Floating base = pelvis (root_link)."""
+    arms (4 each). Floating base = pelvis (root_link).
+
+    PROVENANCE of the baked constants (the reference loads the real URDF via
+    findFileByName("model.urdf"), CentroidalMPCBlock.cpp:150-151; no URDF
+    ships in this repo or the reference's, so the model here is hand-built
+    and calibrated against what the reference tree does pin down):
+    - total mass 58.0 kg and the ~56/44 lower/upper split match the public
+      ergoCub spec sheet class (56-58 kg); per-link masses are box-inertia
+      guesses at plausible segment fractions, NOT measured values.
+    - leg segment lengths (0.30 m thigh, 0.30 m shank, hip separation
+      0.16 m, ankle height 0.06 m) are chosen so the walk-ready crouch
+      (the reference's hard-coded joints, CentroidalMPCBlock.cpp:273-280,
+      with the Gazebo spawn base pitch -0.1) puts the CoM 0.75 m above the
+      soles — consistent with the reference's 0.7 m MPC operating height
+      being a deliberate ~5 cm squat below natural
+      (CentroidalMPCBlock.cpp:531-534; config com_height_drop=0.05).
+      Asserted by tests/test_kinematics.py::test_model_mass_and_com_height.
+    - joint AXIS SIGNS are calibrated, not guessed — see the comment below.
+    Error bound: downstream quantities shaped by the inertia guesses are the
+    angular-momentum reference scale and the rigid plant's mass matrix;
+    geometry-driven quantities (CoM height, foot placement, ZMP arms) are
+    pinned by the calibration above."""
     eye = np.eye(3)
 
     def box_inertia(m, x, y, z):

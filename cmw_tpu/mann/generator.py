@@ -208,9 +208,15 @@ def _build_input(cfg: GeneratorConfig, s: GeneratorState, desired: DesiredBaseTr
     past_vel = _rot_to_base(s.hist_vel[idx], s.base_yaw)
 
     # blend predicted future with the desired trajectory (resampled to 6 pts)
-    tq = jnp.linspace(cfg.time_horizon / N_FUTURE, cfg.time_horizon, N_FUTURE)
-    td = jnp.linspace(0.0, cfg.time_horizon, desired.positions.shape[0])
-    di = jnp.clip(jnp.searchsorted(td, tq), 0, desired.positions.shape[0] - 1)
+    # nearest desired knot per future point, computed in exact index
+    # arithmetic (the two grids share tie points — (k/6)*H vs (j/(n-1))*H —
+    # where a float searchsorted is precision-dependent; round() is not)
+    n_des = desired.positions.shape[0]
+    di = jnp.clip(
+        jnp.round((jnp.arange(N_FUTURE) + 1) * (n_des - 1) / N_FUTURE).astype(jnp.int32),
+        0,
+        n_des - 1,
+    )
     w = (cfg.desired_blend * (jnp.arange(N_FUTURE) + 1) / N_FUTURE)[:, None]
     fut_pos = (1 - w) * s.future_traj[:, 0:2] + w * desired.positions[di]
     fut_face = (1 - w) * s.future_traj[:, 2:4] + w * desired.facing[di]

@@ -47,8 +47,12 @@ class WalkingConfig:
     # actual initial CoM; tracking that step-change makes the physical
     # robot lurch and rock onto its foot edges at gait start (measured
     # with tools/diag_rigid.py). The initial reference mismatch is instead
-    # decayed exponentially with this time constant. 0 disables.
-    ref_ramp_tau: float = 0.4
+    # decayed exponentially with this time constant. 0 disables. None (the
+    # default) resolves to 0.4 on the rigid plant and 0 on the adherent
+    # kinematic plant, so the adherent sweep baselines (RESULTS.md §2, and
+    # the fall thresholds calibrated in dist/sweep.py) keep the behavior
+    # they were calibrated against.
+    ref_ramp_tau: float | None = None
     # STAND MODE: with joystick motion below this threshold, freeze the
     # MANN autoregression and hold the CoM reference over the stance
     # centroid (runtime/loop._mpc_stage). The shipped MANN nets drift at
@@ -63,6 +67,13 @@ class WalkingConfig:
     # zero angular momentum instead — useful because our reconstruction of
     # MANN's angular momentum goes through the approximate model's inertias)
     ang_mom_ref_scale: float = 1.0
+
+    @property
+    def ref_ramp(self) -> float:
+        """Resolved startup-reference decay constant (ref_ramp_tau)."""
+        if self.ref_ramp_tau is None:
+            return 0.4 if self.rigid is not None else 0.0
+        return self.ref_ramp_tau
 
     @property
     def mpc_every(self) -> int:

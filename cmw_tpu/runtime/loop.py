@@ -313,8 +313,8 @@ class WalkingController:
         # tracking it as a step change (config.ref_ramp_tau docstring). The
         # offset decays along the horizon too, so every receding-horizon
         # solve previews a consistent target trajectory.
-        if cfg.ref_ramp_tau > 0.0:
-            decay = jnp.exp(jnp.asarray(-mpc.dt / cfg.ref_ramp_tau, dtype))
+        if cfg.ref_ramp > 0.0:
+            decay = jnp.exp(jnp.asarray(-mpc.dt / cfg.ref_ramp, dtype))
             ref_off = jnp.where(
                 s.tick == 0, s.x9[0:3] - com_ref[0], s.ref_off * decay
             )

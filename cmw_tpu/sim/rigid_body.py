@@ -369,6 +369,13 @@ def dynamics_step(
             -cfg.servo_int_max,
             cfg.servo_int_max,
         )
+        # tau_max clips the explicit P+I part only; the implicit damping
+        # terms folded into the LHS via d_srv (servo_kd + h*servo_kp) add
+        # torque that is NOT bounded, so effective joint torque can exceed
+        # tau_max during fast transients. This matches Gazebo's patched PID
+        # (which also saturates only the PID output, not the joint-limit /
+        # ERP implicit forces); if actuator realism ever becomes a claim,
+        # saturate the total by solving with a clamped d_srv instead.
         tau_j0 = jnp.clip(
             cfg.servo_kp * err + s_int, -cfg.tau_max, cfg.tau_max
         )
@@ -411,6 +418,14 @@ def dynamics_step(
         # stealing exactly the lateral ZMP authority the gait needs.
         # Gazebo's ODE solves patch friction as one LCP; this is the
         # penalty-method equivalent.
+        # NOTE (one-substep lag, deliberate): nu_n above was solved with the
+        # UNCAPPED implicit tangential forces; the Coulomb cap below only
+        # shapes the forces recorded in the state (used for measured ZMP)
+        # and the anchor slip, which bounds the force on the NEXT substep.
+        # During an active slip the plant is therefore momentarily stiffer
+        # than contact_mu for up to one substep (h = dt/substeps = 0.5 ms);
+        # iterating the solve under the cap would re-introduce the explicit
+        # stick-slip chatter the implicit scheme exists to kill.
         ft_foot = ft_raw.sum(axis=1)  # [nc, 2]
         cap_foot = cfg.contact_mu * fz.sum(axis=1)  # [nc]
         ft_foot_norm = jnp.linalg.norm(ft_foot, axis=-1)

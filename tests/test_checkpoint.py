@@ -13,6 +13,10 @@ from cmw_tpu.runtime import checkpoint
 from cmw_tpu.runtime.config import ergocub_gazebo_v1
 from cmw_tpu.runtime.loop import WalkingController, constant_inputs
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # closed-loop episode compiles (minutes cold on CPU)
+
 MANN4 = (
     "/root/reference/src/centroidal-mpc-walking/config/robots/ergoCubGazeboV1/"
     "onnx_50_mann4_smaller_steps.onnx"

@@ -242,3 +242,56 @@ def test_bf16_kkt_inverse_matches_f32():
         f = np.asarray(s16.forces)
         assert (np.abs(f[..., 0]) <= cfg16.mu * f[..., 2] + 2e-2).all()
         assert (np.abs(f[..., 1]) <= cfg16.mu * f[..., 2] + 2e-2).all()
+
+
+def test_nlp_dimension_bookkeeping():
+    """The condensed formulation covers the reference NLP's variable space
+    (tmp.c:69 — x in R^555 for the T=20/21-knot ergoCub problem).
+
+    The reference transcribes 555 = 480 corner-force variables
+    (T=20 x 2 contacts x 4 corners x 3) + 75 contact-location variables
+    (25 xyz slots). Ours condenses the same OCP to 480 + n_slots x nc x 3 =
+    504: identical force space; the location space is 2 feet x 4 phase
+    slots, enough for every phase overlapping a 1.2 s horizon at the gait's
+    0.5-1.0 s step cadence (the reference's extra slots are padding for
+    phases beyond the horizon — their activation masks zero them out, so
+    the feasible sets coincide). State trajectories are decision variables
+    in NEITHER (both roll the dynamics into the cost/constraints)."""
+    cfg = ergocub_mpc_config()
+    assert cfg.T == 20 and cfg.N == 21  # knots, CentroidalMPCBlock.cpp:230
+    assert cfg.n_forces == 480  # the reference's full force block
+    assert cfg.n_positions == 24 and cfg.n_vars == 504
+    assert cfg.n_forces + 75 == 555  # tmp.c:69 total, location block = 25*3
+    # constraint budget covers the same classes: per active corner 6 rows
+    # (4 cone + fz bounds) on all T intervals + location boxes
+    assert cfg.n_con >= cfg.T * cfg.n_contacts * cfg.n_corners
+
+
+@pytest.mark.slow
+def test_oracle_parity_full_horizon():
+    """Full-size parity (VERDICT r1 item 4): the REAL T=20 / 1.2 s problem
+    (centroidal_mpc.ini:3-4 — the 555-var NLP class the reference solves
+    with IPOPT/ma97), walking plan with step adjustment under a lateral
+    push, vs the independent f64 SLSQP oracle. ~4 min of SLSQP."""
+    from cmw_tpu.cmpc import oracle
+
+    cfg = ergocub_mpc_config(sqp_iters=10, admm_iters=150)
+    solver = CentroidalMPCSolver(cfg)
+    plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=10), cfg.dt)
+    params = make_params(cfg, plan, 1.02, [0.0, 0.0, 0.7], com_ref_xy_drift=0.08)
+    params = params._replace(ext_force=jnp.asarray([0.0, 1.0, 0.0]))
+    sol = solver.solve(params, solver.cold_start())
+    z_o, c_o, res = oracle.solve_oracle(cfg, params)
+    assert res.status == 0, res.message
+    # objective parity at the full problem size (tight: 0.5%)
+    assert float(sol.cost) <= c_o * 1.005 + 1e-6
+    assert float(sol.prim_res) < 1e-2
+    # trajectory parity, per-axis: z strongly determined (weight 200);
+    # xy flat-valley as in the T=10 tests
+    Fo, Po = oracle._unpack(cfg, z_o)
+    Xo = oracle.rollout_np(cfg, params, Fo, Po)
+    np.testing.assert_allclose(np.asarray(sol.states[:, 2]), Xo[:, 2], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sol.states[:, 0:2]), Xo[:, 0:2], atol=2e-2)
+    # adjusted footsteps agree to 2 mm
+    adj = np.asarray(params.stage.slot_adjustable * params.stage.slot_valid)[..., None]
+    np.testing.assert_allclose(np.asarray(sol.positions) * adj, Po * adj, atol=2e-3)
