@@ -62,6 +62,23 @@ class WalkingConfig:
     # so push recovery remains active while standing.
     stand_mode: bool = True
     stand_threshold: float = 0.05
+    # CONTACT-FORCE-GATED SWING LIFT (rigid plant only): the planned swing
+    # can start while the physical foot still carries load — the measured
+    # lateral weight transfer lags the plan by ~0.2 s (RESULTS.md §5) and
+    # lifting a loaded foot vaults the robot over the stance edge. While a
+    # swing foot is within the first `lift_gate_window` fraction of its
+    # swing AND its measured normal load exceeds `lift_load_thresh` x body
+    # weight, its IK target holds the MEASURED sole pose (zero velocity)
+    # instead of the planned trajectory; the gate releases smoothly as the
+    # MPC's force plan actually unloads the foot. 0 disables.
+    # Measured (tools/exp_rigid --seconds 6 --vx 0.8, 2026-08-20): window
+    # 0.4 / thresh 0.25 changes the failure mode — max tilt before the fall
+    # drops 44.5 -> 32.6 deg and forward travel jumps 0.05 -> 0.77 m (the
+    # robot genuinely walks at command speed until it goes down) — but the
+    # fall itself is not yet cured (1.27 s -> 1.08 s), so the gate ships
+    # OFF by default pending the landing-side retiming it implies.
+    lift_gate_window: float = 0.0
+    lift_load_thresh: float = 0.25
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

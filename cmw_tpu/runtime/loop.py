@@ -519,6 +519,25 @@ class WalkingController:
 
         feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
 
+        if cfg.rigid is not None and cfg.lift_gate_window > 0.0:
+            # contact-force-gated swing lift (config.lift_gate_window
+            # docstring): hold the measured sole pose until the plant's
+            # own contact forces say the foot is unloaded
+            fz_foot = rbs.corner_forces[..., 2].sum(-1)  # [nc] N, measured
+            load = fz_foot / (self.mass * 9.80665)
+            load_gate = jax.nn.sigmoid((cfg.lift_load_thresh - load) * 30.0)
+            early = (feet.in_contact < 0.5) & (feet.progress < cfg.lift_gate_window)
+            gate = jnp.where(early, load_gate, 1.0)[:, None]
+            sole_meas = jnp.stack(
+                [fpm[model.frame_index("l_sole")], fpm[model.frame_index("r_sole")]]
+            )
+            hold_pos = sole_meas.at[:, 2].set(jnp.maximum(sole_meas[:, 2], 0.0))
+            feet = feet._replace(
+                pos=gate * feet.pos + (1.0 - gate) * hold_pos,
+                lin_vel=gate * feet.lin_vel,
+                ang_vel=gate * feet.ang_vel,
+            )
+
         # chest set-point: orientation of the chest under the regularization
         # configuration (measured base + q_reg), NOT a bare yaw rotation —
         # the reference builds it from m_kinDynWithRegularization

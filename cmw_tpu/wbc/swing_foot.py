@@ -39,6 +39,7 @@ class FootState(NamedTuple):
     lin_vel: jnp.ndarray  # [nc, 3]
     ang_vel: jnp.ndarray  # [nc, 3]
     in_contact: jnp.ndarray  # [nc]
+    progress: jnp.ndarray  # [nc] swing phase fraction in [0,1]; 0 in stance
 
 
 def evaluate(plan: C.ContactPlan, t, cfg: SwingFootConfig = SwingFootConfig()) -> FootState:
@@ -99,4 +100,14 @@ def evaluate(plan: C.ContactPlan, t, cfg: SwingFootConfig = SwingFootConfig()) -
     rot = jnp.where(in_c[..., None] > 0, rot_c, swing_rot)
     lin_vel = jnp.where(in_c > 0, 0.0, swing_vel)
     ang_vel = jnp.where(in_c > 0, 0.0, swing_w)
-    return FootState(rot=rot, pos=pos, lin_vel=lin_vel, ang_vel=ang_vel, in_contact=in_contact)
+    progress = jnp.where(
+        in_contact > 0, 0.0, jnp.clip((t - t0) / dur, 0.0, 1.0)
+    )
+    return FootState(
+        rot=rot,
+        pos=pos,
+        lin_vel=lin_vel,
+        ang_vel=ang_vel,
+        in_contact=in_contact,
+        progress=progress,
+    )
