@@ -25,12 +25,15 @@ class FixedFoot(NamedTuple):
     switch_time: jnp.ndarray  # [] activation time of the fixed contact
 
 
-def detect(plan: C.ContactPlan, t) -> FixedFoot:
+def detect(plan: C.ContactPlan, t, prefer: int = 0) -> FixedFoot:
+    """`prefer` breaks exact double-support ties (both feet planted with
+    equal deactivation time) — the reference's `initial_fixed_frame`
+    (legged_odometry.ini; l_sole = 0 on every shipped robot)."""
     idx, in_contact = C.active_phase(plan, t)
     act, deact, pos, rot, _ = C.gather_phase(plan, idx)
     # score: remaining stance duration; swinging feet score -inf
     score = jnp.where(in_contact > 0, deact, -jnp.inf)
-    fixed = jnp.argmax(score)
+    fixed = jnp.where(score[prefer] >= score.max(), prefer, jnp.argmax(score))
     return FixedFoot(
         index=fixed,
         pos=pos[fixed],

@@ -17,12 +17,33 @@ Jacobian (invertible: it is [[I, -hat(r)], [0, I]]).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from cmw_tpu.core import kinematics as kin
 from cmw_tpu.core import lie
+
+
+@dataclasses.dataclass(frozen=True)
+class OdomConfig:
+    """Per-robot legged_odometry.ini values (ModelInfo + LeggedOdom groups;
+    reference WholeBodyQPBlock.cpp:92-128). All 6 shipped robots use the
+    same values; loaded verbatim by runtime.ini.load_robot_config."""
+
+    base_link: str = "root_link"
+    base_link_imu: str = "root_link"
+    left_foot_contact_frame: str = "l_sole"
+    right_foot_contact_frame: str = "r_sole"
+    initial_fixed_frame: str = "l_sole"
+    switching_pattern: str = "useExternal"  # detector drives the switches
+
+    @property
+    def initial_fixed_index(self) -> int:
+        """0 = left, 1 = right — the double-support tie-break fed to
+        fixed_foot.detect (the reference pins this foot at startup)."""
+        return 0 if self.initial_fixed_frame == self.left_foot_contact_frame else 1
 
 
 class OdometryState(NamedTuple):

@@ -6,7 +6,12 @@ reconstruction, per-corner Schmitt-trigger contact detection, CoM +
 centroidal angular momentum — built on the independent numpy ONNX
 interpreter (`mann/onnx_ref.py`) and its own numpy forward-kinematics
 chain. It shares NOTHING with the JAX path but the `GeneratorConfig` /
-`GeneratorState` containers and the static `RobotModel` arrays.
+`GeneratorState` containers and the static `RobotModel` arrays — with one
+deliberate exception: the desired-trajectory knot resampling rule
+`round((k+1)*(n_des-1)/N_FUTURE)` is shared BY CONSTRUCTION (both sides
+implement the same nearest-knot convention), so the parity test pins it
+only through the 7-knot config where the indices are exact; a bug in that
+one formula would escape this oracle.
 
 Trajectory-level agreement between this rollout and the `lax.scan`
 generator (tests/test_mann.py::test_generator_oracle_parity_40_steps)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 
 from cmw_tpu.cmpc.formulation import MPCConfig
+from cmw_tpu.estimation.legged_odom import OdomConfig
 from cmw_tpu.mann.generator import GeneratorConfig
 from cmw_tpu.mann.input_builder import InputBuilderConfig
 from cmw_tpu.sim.plant import PlantConfig
@@ -29,6 +30,7 @@ class WalkingConfig:
     swing: SwingFootConfig = SwingFootConfig()
     gains: CoMZMPGains = CoMZMPGains()
     input_builder: InputBuilderConfig = InputBuilderConfig()
+    odom: OdomConfig = OdomConfig()
     plant: PlantConfig = PlantConfig()  # default: ideal (adherent) plant
     # full rigid-body dynamics plant (the Gazebo stand-in, sim/rigid_body.py);
     # None -> the reference's adherent topology (commands realized exactly)

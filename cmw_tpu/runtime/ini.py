@@ -18,10 +18,12 @@ import os
 import re
 
 from cmw_tpu.cmpc.formulation import MPCConfig
+from cmw_tpu.estimation.legged_odom import OdomConfig
 from cmw_tpu.mann.generator import GeneratorConfig
 from cmw_tpu.mann.input_builder import InputBuilderConfig
 from cmw_tpu.runtime.config import WalkingConfig
 from cmw_tpu.wbc.com_zmp import CoMZMPGains
+from cmw_tpu.wbc.diff_ik import IKConfig
 from cmw_tpu.wbc.swing_foot import SwingFootConfig
 
 
@@ -183,6 +185,75 @@ def load_robot_config(robot_dir: str) -> WalkingConfig:
 
     wbc_dt = float(main.get("WHOLE_BODY_RUNNER", {}).get("sampling_time", 0.002))
 
+    ik = load_ik_config(os.path.join(robot_dir, "ik.ini"))
+    odom = load_odom_config(os.path.join(robot_dir, "legged_odometry.ini"))
+
     return WalkingConfig(
-        mpc=mpc, gen=gen, input_builder=ib, swing=swing, gains=gains, wbc_dt=wbc_dt
+        mpc=mpc, gen=gen, input_builder=ib, swing=swing, gains=gains,
+        wbc_dt=wbc_dt, ik=ik, odom=odom,
+    )
+
+
+def load_ik_config(path: str) -> IKConfig:
+    """ik.ini -> IKConfig, supporting BOTH dialects in the reference tree
+    (WholeBodyQPBlock.cpp:131-175 consumes the groups):
+
+    * current (ergoCub*, iCubGazeboV3): LEFT_FOOT/RIGHT_FOOT/COM/CHEST/
+      ROOT_TASK/JOINT_REGULARIZATION with priorities + masks;
+    * original ICRA-2022 (iCubGenova09): L_FOOT/R_FOOT/COM_TASK/CHEST_TASK/
+      REGULARIZATION_TASK — no ROOT_TASK group (kp_root keeps its default)
+      and a different CoM gain (kp_linear 10 vs 2), chest frame neck_2.
+    """
+    if not os.path.exists(path):
+        return IKConfig()
+    ini = parse_ini(path)
+
+    def group(*names) -> dict:
+        for n in names:
+            if n in ini:
+                return ini[n]
+        return {}
+
+    lfoot = group("LEFT_FOOT", "L_FOOT")
+    com = group("COM", "COM_TASK")
+    chest = group("CHEST", "CHEST_TASK")
+    root = group("ROOT_TASK")
+    reg = group("JOINT_REGULARIZATION", "REGULARIZATION_TASK")
+    d = IKConfig()  # defaults = ergoCubGazeboV1 values
+    kp = reg.get("kp", d.kp_posture)
+    return IKConfig(
+        kp_foot_lin=float(lfoot.get("kp_linear", d.kp_foot_lin)),
+        kp_foot_ang=float(lfoot.get("kp_angular", d.kp_foot_ang)),
+        kp_com=float(com.get("kp_linear", d.kp_com)),
+        kp_root=float(root.get("kp_linear", d.kp_root)),
+        kp_chest=float(chest.get("kp_angular", d.kp_chest)),
+        kp_posture=(
+            tuple(float(x) for x in kp) if isinstance(kp, tuple) else float(kp)
+        ),
+        chest_frame=str(chest.get("frame_name", d.chest_frame)),
+        chest_weight=tuple(float(x) for x in chest.get("weight", d.chest_weight)),
+        posture_weight=tuple(
+            float(x) for x in reg.get("weight", d.posture_weight)
+        ),
+    )
+
+
+def load_odom_config(path: str) -> OdomConfig:
+    """legged_odometry.ini -> OdomConfig (ModelInfo + LeggedOdom groups)."""
+    if not os.path.exists(path):
+        return OdomConfig()
+    ini = parse_ini(path)
+    mi, lo = ini.get("ModelInfo", {}), ini.get("LeggedOdom", {})
+    d = OdomConfig()
+    return OdomConfig(
+        base_link=str(mi.get("base_link", d.base_link)),
+        base_link_imu=str(mi.get("base_link_imu", d.base_link_imu)),
+        left_foot_contact_frame=str(
+            mi.get("left_foot_contact_frame", d.left_foot_contact_frame)
+        ),
+        right_foot_contact_frame=str(
+            mi.get("right_foot_contact_frame", d.right_foot_contact_frame)
+        ),
+        initial_fixed_frame=str(lo.get("initial_fixed_frame", d.initial_fixed_frame)),
+        switching_pattern=str(lo.get("switching_pattern", d.switching_pattern)),
     )

@@ -250,7 +250,7 @@ class WalkingController:
         if cfg.rigid is not None:
             n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
             rb0 = RB.settle(cfg.rigid, model, rb0, q0, cfg.wbc_dt, n_settle)
-            ff0 = fixed_foot.detect(plan, jnp.zeros((), dtype))
+            ff0 = fixed_foot.detect(plan, jnp.zeros((), dtype), cfg.odom.initial_fixed_index)
             odo0 = legged_odom.OdometryState(ff0.index, ff0.rot, ff0.pos)
             eR, ep = legged_odom.base_pose(model, odo0, rb0.q)
             mlR, mlp = kin.fk(model, rb0.q, eR, ep)
@@ -457,7 +457,7 @@ class WalkingController:
         # with the rigid plant the base attitude comes from the (ideal)
         # base IMU — kinematic-only odometry cannot observe the robot
         # rocking on a foot edge (legged_odom.base_pose_fused docstring)
-        ff = fixed_foot.detect(s.plan, s.t)
+        ff = fixed_foot.detect(s.plan, s.t, cfg.odom.initial_fixed_index)
         odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
         if cfg.rigid is not None:
             base_est_R, base_est_p = legged_odom.base_pose_fused(
@@ -544,7 +544,7 @@ class WalkingController:
         # (WholeBodyQPBlock.cpp:1222,981-986)
         rlR, rlp = kin.fk(model, s.q_reg, base_est_R, base_est_p)
         rfR, _ = kin.frame_poses(model, rlR, rlp)
-        chest_rot_target = rfR[model.frame_index("chest")]
+        chest_rot_target = rfR[model.frame_index(cfg.ik.chest_frame)]
 
         targets = IKTargets(
             foot_rot=feet.rot,

@@ -38,6 +38,11 @@ SCHEMA = {
     "q_reg": "MANN posture regularization target [nj]",
     "com_mann": "MANN CoM reference at the current MPC knot [m]",
     "ang_mom_mann": "MANN angular-momentum reference (mass-normalized)",
+    "base_act_pos": "physical base position (rigid plant) [m]",
+    "base_act_up": "cos(base tilt) = R_act[2,2] (rigid plant)",
+    "base_act_lean": "world-z of base x/y axes (pitch/roll proxies)",
+    "fz_act": "physical per-foot normal-force sum [nc] (N)",
+    "com_act": "ground-truth plant CoM [m] (== com_meas without rigid)",
 }
 
 

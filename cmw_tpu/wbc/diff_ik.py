@@ -42,12 +42,20 @@ _JOINT_REG_WEIGHT = (
 
 @dataclasses.dataclass(frozen=True)
 class IKConfig:
+    """Per-robot IK task gains — values from config/robots/<ROBOT>/ik.ini
+    (loaded verbatim by runtime.ini.load_robot_config; defaults =
+    ergoCubGazeboV1/ik.ini). The reference builds the same stack in
+    WholeBodyQPBlock.cpp:131-175."""
+
     kp_foot_lin: float = 5.0
     kp_foot_ang: float = 4.0
     kp_com: float = 2.0
     kp_root: float = 1.0
     kp_chest: float = 5.0
-    kp_posture: float = 5.0
+    # per-joint kp tuple (ik.ini JOINT_REGULARIZATION `kp`); a scalar
+    # broadcasts over all joints
+    kp_posture: tuple | float = 5.0
+    chest_frame: str = "chest"  # iCubGenova09 uses "neck_2"
     chest_weight: tuple = (10.0, 10.0, 10.0)
     posture_weight: tuple = _JOINT_REG_WEIGHT
     damping: float = 1e-4  # Tikhonov on the soft objective
@@ -108,13 +116,13 @@ def solve_ik(
     b = jnp.concatenate(rows_b, axis=0)
 
     # soft: chest SO3 + posture
-    cidx = model.frame_index("chest")
+    cidx = model.frame_index(cfg.chest_frame)
     Jchest = kin.frame_jacobian(model, lR, lp, cidx)[3:6]
     e_chest = cfg.kp_chest * lie.so3_log(targets.chest_rot @ fR[cidx].T)
     w_chest = jnp.asarray(cfg.chest_weight, dt)
 
     Jpost = jnp.concatenate([jnp.zeros((model.nj, 6), dt), jnp.eye(model.nj, dtype=dt)], axis=1)
-    e_post = cfg.kp_posture * (targets.q_reg - q)
+    e_post = jnp.asarray(cfg.kp_posture, dt) * (targets.q_reg - q)
     w_post = jnp.asarray(cfg.posture_weight, dt)
 
     Js = jnp.concatenate([Jchest, Jpost], axis=0)

@@ -64,3 +64,29 @@ def test_reference_values_verbatim():
     assert cfg.input_builder.ellipsoid_forward_axis == 3.0
     cfg2 = load_robot_config(os.path.join(REF, "ergoCubSN000"))
     assert cfg2.mpc.dt == 0.1 and cfg2.mpc.horizon == 1.3
+
+
+def test_ik_odometry_values_verbatim():
+    """Per-robot ik.ini / legged_odometry.ini are consumed, not hardcoded
+    (reference WholeBodyQPBlock.cpp:131-175 + config/robots/*/ik.ini).
+    iCubGenova09's original ICRA-2022 dialect differs from ergoCub's in
+    group names AND values — both must load verbatim."""
+    cfg = load_robot_config(os.path.join(REF, "ergoCubGazeboV1"))
+    assert cfg.ik.kp_foot_lin == 5.0 and cfg.ik.kp_foot_ang == 4.0
+    assert cfg.ik.kp_com == 2.0 and cfg.ik.kp_root == 1.0
+    assert cfg.ik.chest_frame == "chest"
+    assert cfg.ik.chest_weight == (10.0, 10.0, 10.0)
+    assert cfg.ik.kp_posture == (5.0,) * 26
+    assert cfg.ik.posture_weight == (1.0,) * 6 + (2.0,) * 8 + (1.0,) * 12
+    assert cfg.odom.initial_fixed_frame == "l_sole"
+    assert cfg.odom.initial_fixed_index == 0
+    assert cfg.odom.switching_pattern == "useExternal"
+
+    icub = load_robot_config(os.path.join(REF, "iCubGenova09"))
+    assert icub.ik.kp_com == 10.0  # differs from ergoCub's 2.0
+    assert icub.ik.chest_frame == "neck_2"
+    assert icub.ik.chest_weight == (1.0, 1.0, 1.0)
+    assert icub.ik.kp_posture == (5.0,) * 23  # 23-joint original list
+    assert icub.ik.posture_weight == (1.0,) * 3 + (2.0,) * 8 + (1.0,) * 12
+    # no ROOT_TASK group in the original dialect: default retained
+    assert icub.ik.kp_root == 1.0

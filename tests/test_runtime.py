@@ -89,6 +89,16 @@ def test_episode_vmappable(ctl):
     assert np.isfinite(np.asarray(tel.com_mpc)).all()
 
 
+def test_telemetry_schema_matches_fields():
+    """The named-channel SCHEMA stays in lockstep with the Telemetry pytree
+    (the reference finalizes its metadata before streaming —
+    WholeBodyQPBlock.cpp:712; a drifted schema yields silent empty
+    descriptions in saved npz files)."""
+    from cmw_tpu.runtime.loop import Telemetry
+
+    assert set(telemetry.SCHEMA.keys()) == set(Telemetry._fields)
+
+
 def test_telemetry_roundtrip(ctl):
     S = 120
     sN, tel = ctl.run_episode(ctl.initial_state(), constant_inputs(S))

@@ -1,8 +1,8 @@
-
+"""Scaling harness smoke test on the virtual CPU mesh."""
 
 import pytest as _pytest
 
-pytestmark = _pytest.mark.slow  # closed-loop episode compiles (minutes cold on CPU)"""Scaling harness smoke test on the virtual CPU mesh."""
+pytestmark = _pytest.mark.slow  # closed-loop episode compiles (minutes cold on CPU)
 
 
 def test_scaling_measure_runs_sharded():

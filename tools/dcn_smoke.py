@@ -22,10 +22,20 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PORT = 7632
 
 
-def worker(pid: int):
+def _free_port() -> int:
+    """Bind port 0 on a throwaway socket to let the OS pick a free port
+    (a hard-coded port hangs the 240 s timeout when occupied, e.g. two
+    suites running concurrently on one host)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(pid: int, port: int):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     ).strip()
@@ -33,7 +43,7 @@ def worker(pid: int):
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
     import numpy as np
     import jax.numpy as jnp
@@ -81,13 +91,14 @@ def worker(pid: int):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]))
+        worker(int(sys.argv[2]), int(sys.argv[3]))
         return
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(pid)],
+            [sys.executable, os.path.abspath(__file__), "--worker", str(pid), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
