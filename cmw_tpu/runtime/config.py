@@ -81,6 +81,55 @@ class WalkingConfig:
     # OFF by default pending the landing-side retiming it implies.
     lift_gate_window: float = 0.0
     lift_load_thresh: float = 0.25
+    # GAIT-HOLD / clock-pause (rigid plant only) — the landing-side
+    # retiming the round-2 lift gate implied, done coherently: when the
+    # plan says a foot is in early swing (progress < gait_hold_window as a
+    # fraction of the swing) but the PHYSICAL foot still carries more than
+    # gait_hold_thresh x body weight, the controller pauses its gait clock
+    # for that MPC period — `t` stops advancing, the MANN generator state
+    # and contact plan freeze, and the MPC re-solves the same receding
+    # horizon from the robot's ACTUAL (integrated) state. The frozen plan
+    # has the lagging foot unloaded in interval 0, so the solver's force
+    # schedule actively transfers weight off it; once the measured load
+    # drops, the clock resumes and the FULL swing profile (lift, apex,
+    # touchdown, and the force schedule on both sides) executes at its
+    # planned gait-time cadence — nothing lands late relative to the MPC's
+    # forces, which is exactly what the round-2 IK-target-only gate broke.
+    # The physical robot simply walks at a slightly lower average speed
+    # than commanded when tracking lags. gait_hold_max_s bounds the
+    # consecutive pause per swing (if the foot never unloads the clock
+    # resumes anyway instead of deadlocking into a permanent stand).
+    # 0 disables. Unlike the IK gate this changes no set-point while
+    # active — it only stretches real time — so it composes with every
+    # other subsystem (odometry, ZMP, telemetry stay consistent).
+    gait_hold_window: float = 0.5
+    gait_hold_thresh: float = 0.25
+    gait_hold_max_s: float = 0.6
+    # MEASURED-STATE FEEDBACK into the centroidal integrator (rigid plant
+    # only; 1/s blend rate, 0 disables). The reference's adherent loop
+    # feeds the MPC its own integrated state (WholeBodyQPBlock.cpp:
+    # 1259-1262) and relies on the plant tracking it tightly; our plant's
+    # gait-start lateral transient diverges from the integrator by tens of
+    # cm (trace 2026-08-21: cy_des 0.02 vs cy_act 0.39 within 0.9 s) and
+    # the MPC then plans from fiction — it never sees the runaway it needs
+    # to decelerate. This blends the ESTIMATED centroidal state (odometry
+    # FK CoM + kinematic base-twist momentum, all from measurements) into
+    # x9 at a bounded rate:  x9 += dt*gain*(x9_meas - x9). At gain g the
+    # integrator forgives divergence with time constant 1/g while keeping
+    # the adherent smoothness the reference architecture wants.
+    state_fb_gain: float = 3.0
+    # Anti-windup band for the CoM LTI integrator (rigid plant only; m).
+    # The reference integrates the stabilizer-corrected CoM velocity
+    # open-loop into the IK's CoM target (WholeBodyQPBlock.cpp:634-646,
+    # 1185-1187) — fine when the plant tracks, but on our plant a lateral
+    # transient winds the integrator up: measured 2026-08-21, the IK CoM
+    # target ran 0.5 m away from the physical CoM within 1 s (cy_ik -0.35
+    # vs cy_act +0.19) and the IK then contorted the whole posture around
+    # an unreachable hard CoM task. A CoM command further than a few cm
+    # from the actual CoM has no physical authority anyway (the ZMP is
+    # already at the support edge), so clamp the integrator to
+    # com_meas +- this band. 0 disables.
+    com_int_band: float = 0.05
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

@@ -77,6 +77,8 @@ class LoopState(NamedTuple):
     rb: RB.RigidBodyState  # rigid-body plant (stepped only when cfg.rigid)
     com_mann: jnp.ndarray  # [3] MANN CoM reference @ knot 0 (telemetry)
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference @ knot 0
+    hold: jnp.ndarray  # [] 1.0 while the gait clock is paused (gait_hold)
+    hold_time: jnp.ndarray  # [] consecutive pause time this swing (s)
 
 
 class TickInput(NamedTuple):
@@ -112,10 +114,12 @@ class Telemetry(NamedTuple):
     q_reg: jnp.ndarray  # [nj] posture regularization target
     com_mann: jnp.ndarray  # [3] MANN CoM reference @ current knot
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference
+    gait_hold: jnp.ndarray  # [] 1.0 while the gait clock is paused
     base_act_pos: jnp.ndarray  # [3] physical base position (rigid plant)
     base_act_up: jnp.ndarray  # [] cos(base tilt) = R_act[2,2] (rigid plant)
     base_act_lean: jnp.ndarray  # [2] world-z of base x/y axes (pitch/roll)
     fz_act: jnp.ndarray  # [nc] physical per-foot normal force sum (N)
+    ft_act: jnp.ndarray  # [nc,2] physical per-foot tangential force sum (N)
     com_act: jnp.ndarray  # [3] ground-truth plant CoM (== com_meas if no rigid)
 
 
@@ -250,6 +254,10 @@ class WalkingController:
         if cfg.rigid is not None:
             n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
             rb0 = RB.settle(cfg.rigid, model, rb0, q0, cfg.wbc_dt, n_settle)
+            # zero the friction-spring preload the settling sink built up
+            # (RB.reset_anchors docstring — the hidden ±50 N lateral pull
+            # that surfaces as a net push when one foot unloads)
+            rb0 = RB.reset_anchors(model, rb0)
             ff0 = fixed_foot.detect(plan, jnp.zeros((), dtype), cfg.odom.initial_fixed_index)
             odo0 = legged_odom.OdometryState(ff0.index, ff0.rot, ff0.pos)
             eR, ep = legged_odom.base_pose(model, odo0, rb0.q)
@@ -282,6 +290,8 @@ class WalkingController:
             rb=rb0,
             com_mann=com0.at[2].set(com_z_ref),
             ang_mom_mann=jnp.zeros(3, dtype),
+            hold=jnp.zeros((), dtype),
+            hold_time=jnp.zeros((), dtype),
         )
 
     # -- MPC + MANN stage (every cfg.mpc_every ticks) ---------------------------
@@ -370,6 +380,44 @@ class WalkingController:
             com_ref = sel(com_ref, jnp.broadcast_to(com_hold, com_ref.shape))
             L_ref = sel(L_ref, jnp.zeros_like(L_ref))
 
+        # GAIT-HOLD (config.gait_hold_window docstring): if the plan says a
+        # foot is in early swing while the physical plant still loads it,
+        # pause the gait clock for this period — freeze the generator state
+        # and the plan (so the swing, the landing, and the MPC's force
+        # schedule all retime together), but keep SOLVING from the current
+        # integrated state so the weight transfer completes. Physical load
+        # comes from the rigid plant's own contact forces.
+        hold = jnp.zeros((), dtype)
+        hold_time = s.hold_time
+        if cfg.rigid is not None and cfg.gait_hold_window > 0.0:
+            prev_plan = C.snap_to_grid(s.plan, mpc.dt)
+            feet_prev = swing_foot.evaluate(prev_plan, s.t, cfg.swing)
+            load = s.rb.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
+            # pause BEFORE lift-off, while the foot is still ACTIVE in the
+            # plan: the MPC keeps two-foot force authority, so its schedule
+            # can push off the lagging foot to finish the transfer (the
+            # ZMP must pass RIGHT of the CoM to accelerate it left and
+            # vice versa). Pausing after deactivation instead pins the
+            # MPC's ZMP to the stance foot mid-transfer — an inverted
+            # pendulum accelerating AWAY from it, which measurably loads
+            # the swing foot harder until the robot falls (trace 2026-08-21:
+            # hold_frac 0.55, fall at 0.99 s).
+            idxp, in_cp = C.active_phase(prev_plan, s.t)
+            _, deact_p, _, _, _ = C.gather_phase(prev_plan, idxp)
+            about_to_lift = (in_cp > 0.5) & (deact_p <= s.t + mpc.dt + 1e-6)
+            early_swing = (feet_prev.in_contact < 0.5) & (
+                feet_prev.progress < cfg.gait_hold_window
+            )
+            lagging = (about_to_lift | early_swing) & (load > cfg.gait_hold_thresh)
+            want = jnp.any(lagging)
+            hold = (want & (s.hold_time < cfg.gait_hold_max_s)).astype(dtype)
+            hold_time = jnp.where(want, s.hold_time + mpc.dt, 0.0)
+            selh = lambda frozen, live: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(hold > 0, a, b), frozen, live
+            )
+            gen_next = selh(s.gen_state, gen_next)
+            plan = selh(prev_plan, plan)
+
         # 6. solve the MPC from the integrated state (adherent loop)
         stage = C.mpc_stage_params(plan, s.t, mpc.T, mpc.dt, mpc.n_slots)
         # measured external wrench with the same 0.7 N deadband the WBC
@@ -424,6 +472,8 @@ class WalkingController:
             ref_off=ref_off,
             com_mann=com_ref[0],
             ang_mom_mann=L_ref[0],
+            hold=hold,
+            hold_time=hold_time,
         )
 
     # -- WBC stage (every tick) -------------------------------------------------
@@ -481,6 +531,22 @@ class WalkingController:
         # kinDynWithMeasured, WholeBodyQPBlock.cpp:950-991)
         lR, lp = kin.fk(model, q_meas, base_est_R, base_est_p)
         com_meas = kin.com(model, lR, lp)
+
+        # measured-state feedback into the centroidal integrator
+        # (config.state_fb_gain docstring): estimated centroidal state from
+        # measurements only — odometry FK CoM, kinematic base twist from
+        # the fixed-sole constraint, measured joint velocities
+        if cfg.rigid is not None and cfg.state_fb_gain > 0.0:
+            qd_meas = rbs.nu[6:]  # ideal encoders on the rigid plant
+            nu_est = legged_odom.base_twist(
+                model, odo, q_meas, qd_meas, base_est_R, base_est_p
+            )
+            h = kin.centroidal_momentum(
+                model, lR, lp, jnp.concatenate([nu_est, qd_meas])
+            )
+            meas9 = pack_state(com_meas, h[0:3] / self.mass, h[3:6] / self.mass)
+            x9 = x9 + (dt * cfg.state_fb_gain) * (meas9 - x9)
+            com_des3, dcom_des3 = x9[0:3], x9[3:6]
         # measured ZMP from the wrench sensors (evaluateZMP, :737-803)
         if cfg.rigid is not None:
             # the real thing: the plant's contact forces at the corner
@@ -516,6 +582,15 @@ class WalkingController:
             cfg.gains,
         )
         com_xy_int = s.com_xy_int + dt * v_cmd
+        if cfg.rigid is not None and cfg.com_int_band > 0.0:
+            # anti-windup (config.com_int_band docstring): the integrated
+            # CoM command stays within a physical-authority band of the
+            # measured CoM
+            com_xy_int = jnp.clip(
+                com_xy_int,
+                com_meas[0:2] - cfg.com_int_band,
+                com_meas[0:2] + cfg.com_int_band,
+            )
 
         feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
 
@@ -574,7 +649,9 @@ class WalkingController:
         q = s.q + dt * nu[6:]
 
         s2 = s._replace(
-            t=s.t + dt,
+            # gait-hold: the clock pauses while s.hold is set — real time
+            # (the plant, the integrators) marches on; gait time does not
+            t=s.t + dt * (1.0 - s.hold),
             tick=s.tick + 1,
             x9=x9,
             com_xy_int=com_xy_int,
@@ -609,6 +686,7 @@ class WalkingController:
             q_reg=s.q_reg,
             com_mann=s.com_mann,
             ang_mom_mann=s.ang_mom_mann,
+            gait_hold=s.hold,
             base_act_pos=rbs.base_pos if cfg.rigid is not None else base_pos,
             base_act_up=(
                 rbs.base_rot[2, 2] if cfg.rigid is not None else base_rot[2, 2]
@@ -617,6 +695,7 @@ class WalkingController:
                 rbs.base_rot[2, 0:2] if cfg.rigid is not None else base_rot[2, 0:2]
             ),
             fz_act=rbs.corner_forces[..., 2].sum(-1),
+            ft_act=rbs.corner_forces[..., 0:2].sum(-2),
             com_act=(
                 kin.com(model, *kin.fk(model, rbs.q, rbs.base_rot, rbs.base_pos))
                 if cfg.rigid is not None

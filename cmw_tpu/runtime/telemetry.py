@@ -38,10 +38,12 @@ SCHEMA = {
     "q_reg": "MANN posture regularization target [nj]",
     "com_mann": "MANN CoM reference at the current MPC knot [m]",
     "ang_mom_mann": "MANN angular-momentum reference (mass-normalized)",
+    "gait_hold": "1.0 while the gait clock is paused (gait-hold retiming)",
     "base_act_pos": "physical base position (rigid plant) [m]",
     "base_act_up": "cos(base tilt) = R_act[2,2] (rigid plant)",
     "base_act_lean": "world-z of base x/y axes (pitch/roll proxies)",
     "fz_act": "physical per-foot normal-force sum [nc] (N)",
+    "ft_act": "physical per-foot tangential-force sum [nc,2] (N)",
     "com_act": "ground-truth plant CoM [m] (== com_meas without rigid)",
 }
 

@@ -473,6 +473,33 @@ def default_corners(n_feet: int = 2) -> np.ndarray:
     )
 
 
+def reset_anchors(
+    model: kin.RobotModel,
+    state: RigidBodyState,
+    sole_frames: tuple = ("l_sole", "r_sole"),
+    corners_local: np.ndarray | None = None,
+) -> RigidBodyState:
+    """Re-anchor the tangential friction springs at the corners' CURRENT
+    world positions, zeroing any built-up spring preload.
+
+    Needed after `settle`: sinking onto the contact splays the soles
+    outward ~1 mm from their spawn anchors, leaving each foot with a
+    ~±50 N inward-pulling spring. The preloads cancel while both feet are
+    loaded, but the Coulomb cap zeroes the UNLOADED foot's spring the
+    moment the gait shifts weight — the loaded foot's hidden preload then
+    becomes a net ~50 N (~1 m/s²) lateral push toward the unloaded side
+    (measured 2026-08-21: fyR +40..+90 N through the first double
+    support, fyL −205 N flicker at touch — the uncommanded lateral
+    acceleration that tipped every gait start)."""
+    if corners_local is None:
+        corners_local = default_corners(len(sole_frames))
+    link_R, link_p = kin.fk(model, state.q, state.base_rot, state.base_pos)
+    pts, _ = corner_points_jacobians(
+        model, link_R, link_p, sole_frames, jnp.asarray(corners_local, state.q.dtype)
+    )
+    return state._replace(anchors=pts[..., 0:2])
+
+
 def settle(
     cfg: RigidBodyConfig,
     model: kin.RobotModel,

@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--push-dur", type=float, default=0.4)
     ap.add_argument("--noadjust", action="store_true")
     ap.add_argument("--trace", action="store_true", help="print the tick table")
+    ap.add_argument("--trace-every", type=int, default=0,
+                    help="trace stride in ticks (0 = ~60 rows over the episode)")
     ap.add_argument("--kw", nargs="*", default=[],
                     help="WalkingConfig override k=v (repeatable)")
     ap.add_argument("--rbkw", nargs="*", default=[],
@@ -124,11 +126,13 @@ def main():
     swing_id = np.where(ss, np.argmin(fc[:fell_i], axis=1), -1)
     steps = int(np.sum((swing_id[1:] != swing_id[:-1]) & (swing_id[1:] >= 0)))
     tilt_deg = np.degrees(np.arccos(np.clip(up[:max(fell_i, 1)], -1, 1)))
+    hold = np.asarray(tel.gait_hold)[:fell_i]
     print(
         f"RESULT fell_t={fell_t if np.isfinite(fell_t) else -1:.2f} "
         f"steps={steps} travel={bp[min(fell_i, S - 1), 0] - bp[0, 0]:+.2f} "
         f"max_tilt={tilt_deg.max():.1f}deg "
-        f"survived={not fallen.any()} S={S}"
+        f"survived={not fallen.any()} S={S} "
+        f"hold_frac={hold.mean() if hold.size else 0.0:.3f}"
     )
     if args.trace:
         lean = np.asarray(tel.base_act_lean)
@@ -140,14 +144,21 @@ def main():
         ca = np.asarray(tel.com_act)
         fp = np.asarray(tel.foot_pos_des)
         lean = np.asarray(tel.base_act_lean)
-        print("  t     bz    up    leanx  leany  fzL   fzR  cx_des cx_act zdx    zmx    cy_des cy_act zdy    zmy    fLz_d fRz_d")
-        for t in np.arange(0, S, max(1, S // 60)):
+        hld = np.asarray(tel.gait_hold)
+        vc = np.asarray(tel.vcom_zmp)
+        ft = np.asarray(tel.ft_act)
+        print("  t     bz    up    leanx  leany  fzL   fzR  fyL   fyR  cx_des cx_act | cy_des cy_ik  cy_est cy_act zdy    zmy    vcmdy | fLz_d fRz_d cL cR H")
+        stride = args.trace_every if args.trace_every > 0 else max(1, S // 60)
+        for t in np.arange(0, S, stride):
             print(f"  {t*dtw:4.2f} {bp[t,2]:.3f} {up[t]:+.3f} "
                   f"{lean[t,0]:+.3f} {lean[t,1]:+.3f} "
                   f"{fz[t,0]:5.0f} {fz[t,1]:5.0f} "
-                  f"{com[t,0]:+.3f} {ca[t,0]:+.3f} {zd[t,0]:+.3f} {zm[t,0]:+.3f} "
-                  f"{com[t,1]:+.3f} {ca[t,1]:+.3f} {zd[t,1]:+.3f} {zm[t,1]:+.3f} "
-                  f"{fp[t,0,2]:+.3f} {fp[t,1,2]:+.3f}")
+                  f"{ft[t,0,1]:+5.0f} {ft[t,1,1]:+5.0f} "
+                  f"{com[t,0]:+.3f} {ca[t,0]:+.3f} | "
+                  f"{com[t,1]:+.3f} {ci[t,1]:+.3f} {cm[t,1]:+.3f} {ca[t,1]:+.3f} "
+                  f"{zd[t,1]:+.3f} {zm[t,1]:+.3f} {vc[t,1]:+.3f} | "
+                  f"{fp[t,0,2]:+.3f} {fp[t,1,2]:+.3f} "
+                  f"{fc[t,0]:.0f}  {fc[t,1]:.0f}  {hld[t]:.0f}")
 
 
 if __name__ == "__main__":
