@@ -105,6 +105,13 @@ class WalkingConfig:
     gait_hold_window: float = 0.5
     gait_hold_thresh: float = 0.25
     gait_hold_max_s: float = 0.6
+    # capture-point hull margins for the gait-hold release (m): a foot may
+    # lift only when the LIPM capture point lies within the hull of the
+    # stance foot and the upcoming landing, expanded by these margins
+    # (foot half-length ~0.09 / half-width ~0.05 plus the MPC's bounded
+    # step-adjustment authority)
+    capture_margin_x: float = 0.15
+    capture_margin_y: float = 0.10
     # MEASURED-STATE FEEDBACK into the centroidal integrator (rigid plant
     # only; 1/s blend rate, 0 disables). The reference's adherent loop
     # feeds the MPC its own integrated state (WholeBodyQPBlock.cpp:
@@ -130,6 +137,33 @@ class WalkingConfig:
     # already at the support edge), so clamp the integrator to
     # com_meas +- this band. 0 disables.
     com_int_band: float = 0.05
+    # Joystick slew limit on the MOTION components (units of full-scale
+    # per second; 0 disables). The reference is driven by a human thumb on
+    # FakeJoypad (README videos) — commands ramp over ~a second. A 0->0.8
+    # step command makes MANN emit a full-cadence gait whose FIRST double
+    # support lasts ~0.1 s: a from-standstill weight transfer the physical
+    # plant cannot execute (measured: the CoM arrives at lift-off 5 cm
+    # left of plan with +0.3 m/s — past the capture edge of the stance
+    # foot). Slewing the commanded motion internally makes step inputs
+    # physically realizable without changing steady-state behavior.
+    joypad_slew: float = 0.0
+    # CONTACT RECONCILIATION (rigid plant only): write the MEASURED sole
+    # pose (odometry frame, z=0, yaw-only) of each PHYSICALLY LOADED
+    # stance foot into the plan's current phase every MPC tick. The
+    # reference keeps the MPC-adjusted pose there
+    # (updateContactPhaseList, CentroidalMPCBlock.cpp:32-110) and its
+    # Gazebo robot lands within ~1 cm of it; our plant lands several cm
+    # off, and anchoring the odometry at the PLANNED landing pose then
+    # teleports the estimate frame by the landing error at every
+    # fixed-foot switch (measured 2026-08-21: a +6 cm estimated-CoM jump
+    # at the first touchdown that commands a fictitious lateral
+    # correction of the whole gait and tips step 2). With reconciliation
+    # the odometry re-anchors where the foot ACTUALLY is, the MPC's
+    # contact geometry matches reality, and the plan's future (MANN)
+    # steps converge back to the nominal line through the MPC's bounded
+    # step adjustment instead of all at once.
+    reconcile_contacts: bool = True
+    reconcile_load_thresh: float = 0.15  # x body weight
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

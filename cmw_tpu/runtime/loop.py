@@ -51,6 +51,24 @@ from cmw_tpu.wbc.diff_ik import IKTargets, solve_ik
 from cmw_tpu.wbc.zmp import desired_zmp_from_corners
 
 
+class DynConfig(NamedTuple):
+    """Tuning knobs carried as TRACED scalars in LoopState (not static
+    jit constants): changing them reuses the compiled episode executable
+    — the difference between a 2-minute and a 12-minute experiment
+    iteration on TPU. Defaults come from the matching WalkingConfig
+    fields in `initial_state`; override post-hoc with
+    `s0._replace(dyn=s0.dyn._replace(x=...))`."""
+
+    gait_hold_window: jnp.ndarray  # [] fraction of swing
+    gait_hold_thresh: jnp.ndarray  # [] x body weight
+    gait_hold_max_s: jnp.ndarray  # [] s
+    capture_margin_x: jnp.ndarray  # [] m
+    capture_margin_y: jnp.ndarray  # [] m
+    state_fb_gain: jnp.ndarray  # [] 1/s
+    com_int_band: jnp.ndarray  # [] m
+    joypad_slew: jnp.ndarray  # [] full-scale/s (0 = off)
+
+
 class LoopState(NamedTuple):
     t: jnp.ndarray  # [] absolute time
     tick: jnp.ndarray  # [] int
@@ -79,6 +97,8 @@ class LoopState(NamedTuple):
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference @ knot 0
     hold: jnp.ndarray  # [] 1.0 while the gait clock is paused (gait_hold)
     hold_time: jnp.ndarray  # [] consecutive pause time this swing (s)
+    joypad_lp: jnp.ndarray  # [4] slew-limited joystick (cfg.joypad_slew)
+    dyn: DynConfig  # traced tuning knobs (DynConfig docstring)
 
 
 class TickInput(NamedTuple):
@@ -292,6 +312,17 @@ class WalkingController:
             ang_mom_mann=jnp.zeros(3, dtype),
             hold=jnp.zeros((), dtype),
             hold_time=jnp.zeros((), dtype),
+            joypad_lp=jnp.zeros(4, dtype).at[2].set(1.0),  # facing forward
+            dyn=DynConfig(
+                gait_hold_window=jnp.asarray(cfg.gait_hold_window, dtype),
+                gait_hold_thresh=jnp.asarray(cfg.gait_hold_thresh, dtype),
+                gait_hold_max_s=jnp.asarray(cfg.gait_hold_max_s, dtype),
+                capture_margin_x=jnp.asarray(cfg.capture_margin_x, dtype),
+                capture_margin_y=jnp.asarray(cfg.capture_margin_y, dtype),
+                state_fb_gain=jnp.asarray(cfg.state_fb_gain, dtype),
+                com_int_band=jnp.asarray(cfg.com_int_band, dtype),
+                joypad_slew=jnp.asarray(cfg.joypad_slew, dtype),
+            ),
         )
 
     # -- MPC + MANN stage (every cfg.mpc_every ticks) ---------------------------
@@ -301,9 +332,19 @@ class WalkingController:
         dtype = s.x9.dtype
         mpc = cfg.mpc
 
+        # 0. joystick slew limit (config.joypad_slew docstring): step
+        # commands from the episode inputs ramp at a thumb-realistic rate;
+        # facing passes through unchanged. slew == 0 disables.
+        dmax = s.dyn.joypad_slew * mpc.dt
+        motion = s.joypad_lp[0:2] + jnp.clip(
+            inp.joypad[0:2] - s.joypad_lp[0:2], -dmax, dmax
+        )
+        motion = jnp.where(s.dyn.joypad_slew > 0, motion, inp.joypad[0:2])
+        joypad = jnp.concatenate([motion, inp.joypad[2:4]])
+
         # 1. joystick -> desired base trajectory
         desired = build_desired_trajectory(
-            inp.joypad[0:2], inp.joypad[2:4], cfg.input_builder
+            joypad[0:2], joypad[2:4], cfg.input_builder
         )
 
         # 2. MANN autoregression over its horizon; re-root at +mpc.dt
@@ -364,7 +405,7 @@ class WalkingController:
         # freeze the autoregression and hold the references at the stance
         # centroid instead. The MPC still solves every tick, so push
         # recovery (incl. step adjustment out of stand) stays active.
-        moving = jnp.linalg.norm(inp.joypad[0:2]) > cfg.stand_threshold
+        moving = jnp.linalg.norm(joypad[0:2]) > cfg.stand_threshold
         if cfg.stand_mode:
             sel = lambda a, b: jnp.where(moving, a, b)
             gen_next = jax.tree_util.tree_map(sel, gen_next, s.gen_state)
@@ -389,10 +430,36 @@ class WalkingController:
         # comes from the rigid plant's own contact forces.
         hold = jnp.zeros((), dtype)
         hold_time = s.hold_time
-        if cfg.rigid is not None and cfg.gait_hold_window > 0.0:
+        if cfg.rigid is not None:
             prev_plan = C.snap_to_grid(s.plan, mpc.dt)
             feet_prev = swing_foot.evaluate(prev_plan, s.t, cfg.swing)
             load = s.rb.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
+            # measured kinematics in the CURRENT estimate frame (anchored
+            # on the previous plan's fixed foot): sole poses for the
+            # landing reconciliation, estimated centroidal state for the
+            # capture gate (x9 lags the estimate by the feedback time
+            # constant — gating on it released into unrecoverable states)
+            ff_r = fixed_foot.detect(prev_plan, s.t, cfg.odom.initial_fixed_index)
+            odo_r = legged_odom.OdometryState(ff_r.index, ff_r.rot, ff_r.pos)
+            bR, bp = legged_odom.base_pose_fused(
+                model, odo_r, s.rb.q, s.rb.base_rot
+            )
+            lRr, lpr = kin.fk(model, s.rb.q, bR, bp)
+            fRr, fpr = kin.frame_poses(model, lRr, lpr)
+            li = model.frame_index("l_sole")
+            ri = model.frame_index("r_sole")
+            meas_pos = jnp.stack([fpr[li], fpr[ri]]).at[:, 2].set(0.0)
+            meas_rot = lie.rotz(
+                jnp.stack([lie.yaw_of(fRr[li]), lie.yaw_of(fRr[ri])])
+            )
+            com_r = kin.com(model, lRr, lpr)
+            nu_r = legged_odom.base_twist(
+                model, odo_r, s.rb.q, s.rb.nu[6:], bR, bp
+            )
+            h_r = kin.centroidal_momentum(
+                model, lRr, lpr, jnp.concatenate([nu_r, s.rb.nu[6:]])
+            )
+            dcom_r = h_r[0:3] / self.mass
             # pause BEFORE lift-off, while the foot is still ACTIVE in the
             # plan: the MPC keeps two-foot force authority, so its schedule
             # can push off the lagging foot to finish the transfer (the
@@ -403,20 +470,69 @@ class WalkingController:
             # the swing foot harder until the robot falls (trace 2026-08-21:
             # hold_frac 0.55, fall at 0.99 s).
             idxp, in_cp = C.active_phase(prev_plan, s.t)
-            _, deact_p, _, _, _ = C.gather_phase(prev_plan, idxp)
+            _, deact_p, pos_cp, _, _ = C.gather_phase(prev_plan, idxp)
             about_to_lift = (in_cp > 0.5) & (deact_p <= s.t + mpc.dt + 1e-6)
             early_swing = (feet_prev.in_contact < 0.5) & (
-                feet_prev.progress < cfg.gait_hold_window
+                feet_prev.progress < s.dyn.gait_hold_window
             )
-            lagging = (about_to_lift | early_swing) & (load > cfg.gait_hold_thresh)
-            want = jnp.any(lagging)
-            hold = (want & (s.hold_time < cfg.gait_hold_max_s)).astype(dtype)
+            # capture condition: lifting foot i is only safe if the
+            # instantaneous capture point (LIPM: com + dcom*sqrt(z/g))
+            # lies in the hull of the OTHER foot's current stance and
+            # foot i's upcoming landing, expanded by a margin — releasing
+            # on load alone lifts into an unrecoverable lateral state
+            # (measured: release at load 0.24 with the capture point
+            # 0.2 m outside the stance foot, fall within 0.4 s)
+            cp_xy = com_r[0:2] + dcom_r[0:2] * jnp.sqrt(
+                jnp.maximum(com_r[2], 0.3) / 9.80665
+            )
+            idxn, has_n = C.next_phase(prev_plan, s.t)
+            _, _, pos_n, _, _ = C.gather_phase(prev_plan, idxn)
+            land_xy = jnp.where(has_n[:, None] > 0, pos_n[:, 0:2], pos_cp[:, 0:2])
+            stance_xy = pos_cp[::-1, 0:2]  # the OTHER foot's stance pose
+            margin = jnp.stack([s.dyn.capture_margin_x, s.dyn.capture_margin_y])
+            lo = jnp.minimum(stance_xy, land_xy) - margin
+            hi = jnp.maximum(stance_xy, land_xy) + margin
+            capture_ok = jnp.all((cp_xy >= lo) & (cp_xy <= hi), axis=-1)
+            lagging = (about_to_lift | early_swing) & (
+                (load > s.dyn.gait_hold_thresh) | ~capture_ok
+            )
+            want = jnp.any(lagging) & (s.dyn.gait_hold_window > 0)
+            hold = (want & (s.hold_time < s.dyn.gait_hold_max_s)).astype(dtype)
             hold_time = jnp.where(want, s.hold_time + mpc.dt, 0.0)
             selh = lambda frozen, live: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(hold > 0, a, b), frozen, live
             )
             gen_next = selh(s.gen_state, gen_next)
             plan = selh(prev_plan, plan)
+
+        # CONTACT RECONCILIATION (config.reconcile_contacts docstring):
+        # at the ACTIVATION tick of each contact, write the foot's
+        # MEASURED sole pose (current estimate frame) into the plan — the
+        # odometry then re-anchors where the foot actually landed instead
+        # of teleporting by the landing error. Exactly once per landing:
+        # continuous re-writing lets the estimate frame chase the foot's
+        # own impact dynamics (measured: the estimated CoM swung +0.14 m
+        # during a landing while the true CoM moved 6 mm), and no load
+        # gate — an active-but-still-descending foot sits at its
+        # commanded (≈ planned) pose in the estimate frame anyway, while
+        # a load gate loses the race against the fixed-foot switch.
+        if cfg.rigid is not None and cfg.reconcile_contacts:
+            idx_c, in_c = C.active_phase(plan, s.t)
+            act_c, _, _, _, _ = C.gather_phase(plan, idx_c)
+            upd = (
+                (in_c > 0.5)
+                # first two periods of the phase: catches a touchdown that
+                # physically completes just after the planned activation,
+                # then freezes the anchor
+                & (act_c > s.t - 2.0 * mpc.dt - 1e-6)
+                & (hold < 0.5)  # frozen clock: activation is not fresh
+            )
+            onehot = jnp.arange(plan.num_phases)[None, :] == idx_c[:, None]
+            sel = (upd[:, None] & onehot)[..., None]
+            plan = plan._replace(
+                pos=jnp.where(sel, meas_pos[:, None, :], plan.pos),
+                rot=jnp.where(sel[..., None], meas_rot[:, None], plan.rot),
+            )
 
         # 6. solve the MPC from the integrated state (adherent loop)
         stage = C.mpc_stage_params(plan, s.t, mpc.T, mpc.dt, mpc.n_slots)
@@ -474,6 +590,7 @@ class WalkingController:
             ang_mom_mann=L_ref[0],
             hold=hold,
             hold_time=hold_time,
+            joypad_lp=joypad,
         )
 
     # -- WBC stage (every tick) -------------------------------------------------
@@ -536,7 +653,7 @@ class WalkingController:
         # (config.state_fb_gain docstring): estimated centroidal state from
         # measurements only — odometry FK CoM, kinematic base twist from
         # the fixed-sole constraint, measured joint velocities
-        if cfg.rigid is not None and cfg.state_fb_gain > 0.0:
+        if cfg.rigid is not None:
             qd_meas = rbs.nu[6:]  # ideal encoders on the rigid plant
             nu_est = legged_odom.base_twist(
                 model, odo, q_meas, qd_meas, base_est_R, base_est_p
@@ -545,7 +662,7 @@ class WalkingController:
                 model, lR, lp, jnp.concatenate([nu_est, qd_meas])
             )
             meas9 = pack_state(com_meas, h[0:3] / self.mass, h[3:6] / self.mass)
-            x9 = x9 + (dt * cfg.state_fb_gain) * (meas9 - x9)
+            x9 = x9 + (dt * s.dyn.state_fb_gain) * (meas9 - x9)
             com_des3, dcom_des3 = x9[0:3], x9[3:6]
         # measured ZMP from the wrench sensors (evaluateZMP, :737-803)
         if cfg.rigid is not None:
@@ -582,15 +699,16 @@ class WalkingController:
             cfg.gains,
         )
         com_xy_int = s.com_xy_int + dt * v_cmd
-        if cfg.rigid is not None and cfg.com_int_band > 0.0:
+        if cfg.rigid is not None:
             # anti-windup (config.com_int_band docstring): the integrated
             # CoM command stays within a physical-authority band of the
-            # measured CoM
-            com_xy_int = jnp.clip(
+            # measured CoM; band == 0 disables
+            clipped = jnp.clip(
                 com_xy_int,
-                com_meas[0:2] - cfg.com_int_band,
-                com_meas[0:2] + cfg.com_int_band,
+                com_meas[0:2] - s.dyn.com_int_band,
+                com_meas[0:2] + s.dyn.com_int_band,
             )
+            com_xy_int = jnp.where(s.dyn.com_int_band > 0, clipped, com_xy_int)
 
         feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
 

@@ -63,6 +63,18 @@ class RigidBodyConfig:
     # h = 1 ms thanks to the implicit velocity update.
     contact_ks: float = 1.0e5  # N/m tangential anchor-spring (static friction)
     contact_kt: float = 6.0e2  # N s/m tangential damping
+    # anchor stress-relaxation time constant (s; 0 disables): anchors creep
+    # toward the current corner positions so SUSTAINED tangential spring
+    # preload bleeds off while transient (gait-timescale) friction stays
+    # stiff. Physical origin of the preload: leg compression under load
+    # splays the sole laterally ~0.5 mm/mm-of-sink, winding the anchor
+    # springs up to ~50 N of DC lateral force that the Coulomb cap then
+    # releases asymmetrically when one foot unloads (measured — see
+    # reset_anchors). At tau=0.3 a 100 N walking-shear episode creeps the
+    # anchor ~3 mm/s (bounded treadmill risk; the round-2 backward
+    # treadmill needed ~10 mm/step), while slow splay preload settles at
+    # ~splay_rate*ks*tau ~= 15 N instead of 50 N.
+    anchor_relax_tau: float = 0.3
     # joint position PID (the Gazebo PID analog, dockerfiles/
     # icub-models.patch). The integral term is load-bearing: a pure PD
     # sags 3-10 deg under gravity torque, which physically tips the robot
@@ -356,6 +368,10 @@ def dynamics_step(
         # 8 deg foot tilt within 0.25 s of the first single-support phase).
         foot_down = (active.max(axis=1) > 0)[:, None, None]
         anchors0 = jnp.where(foot_down, s.anchors, xy)
+        if cfg.anchor_relax_tau > 0.0:
+            # stress relaxation (anchor_relax_tau docstring): DC spring
+            # preload decays; transient friction unaffected
+            anchors0 = anchors0 + (xy - anchors0) * (h / cfg.anchor_relax_tau)
 
         # position-only force parts (velocity terms are implicit)
         fz0 = cfg.contact_kp * pen * active

@@ -52,6 +52,8 @@ def main():
                     help="trace stride in ticks (0 = ~60 rows over the episode)")
     ap.add_argument("--kw", nargs="*", default=[],
                     help="WalkingConfig override k=v (repeatable)")
+    ap.add_argument("--dynkw", nargs="*", default=[],
+                    help="DynConfig override k=v (traced knobs — NO recompile)")
     ap.add_argument("--rbkw", nargs="*", default=[],
                     help="RigidBodyConfig override k=v (repeatable)")
     ap.add_argument("--mpckw", nargs="*", default=[],
@@ -109,6 +111,11 @@ def main():
         s0 = ctl.initial_state(q0=jnp.zeros(model.nj), base_rot0=jnp.eye(3))
     else:
         s0 = ctl.initial_state()
+    dk = parse_kw(args.dynkw)
+    if dk:
+        s0 = s0._replace(dyn=s0.dyn._replace(
+            **{k: jnp.asarray(float(v), jnp.float32) for k, v in dk.items()}
+        ))
     sN, tel = ctl.run_episode_blocked(s0, base)
 
     bp = np.asarray(tel.base_act_pos)
