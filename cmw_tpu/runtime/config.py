@@ -164,6 +164,32 @@ class WalkingConfig:
     # step adjustment instead of all at once.
     reconcile_contacts: bool = True
     reconcile_load_thresh: float = 0.15  # x body weight
+    # GENERATOR-PLAN RE-SYNC (rigid plant only): every MPC tick, translate
+    # the MANN generator's virtual world so its stance sole coincides with
+    # the plan's (reconciled = measured) stance sole. The generator rolls
+    # an autoregressive virtual gait at the COMMANDED speed; when the
+    # physical robot walks slower (measured: ~0.5 m/s realized at a 0.8
+    # command), its references and footstep timeline run away forward and
+    # the robot is dragged onto its toes until it pitches over (trace
+    # 2026-08-21: cx_des - cx_act grows 0 -> 0.12 m within 0.6 s, forward
+    # pitch 25 deg, vault). The translation is exact (the generator is
+    # translation-equivariant: base/history/foot xy shift, directions and
+    # base-frame features unchanged) and makes the whole reference
+    # pipeline progress at the speed the plant actually achieves.
+    gen_resync: bool = True
+    # EARLY-TOUCHDOWN handling (rigid plant only): the swing foot can
+    # strike the ground before its planned touchdown (the physical base
+    # rides lower/tilted than the estimate frame assumes — measured: the
+    # step-2 swing landed ~50 ms early carrying 640 N while the planner
+    # still commanded descent, vaulting the robot over it). Two coupled
+    # responses while a LATE-swing foot measures more than
+    # td_load_thresh x body weight: (a) WBC — hold its target at the
+    # measured sole pose instead of driving it further down; (b) MPC —
+    # if its planned activation is within td_lookahead, activate the
+    # contact NOW in the plan, so the force schedule, fixed-foot detector
+    # and desired ZMP gain the new support immediately. 0 disables.
+    td_load_thresh: float = 0.10
+    td_lookahead: float = 0.13
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

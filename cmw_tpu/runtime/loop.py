@@ -67,6 +67,8 @@ class DynConfig(NamedTuple):
     state_fb_gain: jnp.ndarray  # [] 1/s
     com_int_band: jnp.ndarray  # [] m
     joypad_slew: jnp.ndarray  # [] full-scale/s (0 = off)
+    td_load_thresh: jnp.ndarray  # [] x body weight: early-touchdown gate
+    td_lookahead: jnp.ndarray  # [] s: early contact activation window
 
 
 class LoopState(NamedTuple):
@@ -269,7 +271,8 @@ class WalkingController:
             else 0.0
         )
         rb0 = RB.initial_state(
-            model, q0, base_rot0, base_pos - jnp.asarray([0.0, 0.0, sink], dtype)
+            model, q0, base_rot0, base_pos - jnp.asarray([0.0, 0.0, sink], dtype),
+            cfg=cfg.rigid if cfg.rigid is not None else None,
         )
         if cfg.rigid is not None:
             n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
@@ -322,6 +325,8 @@ class WalkingController:
                 state_fb_gain=jnp.asarray(cfg.state_fb_gain, dtype),
                 com_int_band=jnp.asarray(cfg.com_int_band, dtype),
                 joypad_slew=jnp.asarray(cfg.joypad_slew, dtype),
+                td_load_thresh=jnp.asarray(cfg.td_load_thresh, dtype),
+                td_lookahead=jnp.asarray(cfg.td_lookahead, dtype),
             ),
         )
 
@@ -347,9 +352,29 @@ class WalkingController:
             joypad[0:2], joypad[2:4], cfg.input_builder
         )
 
+        # 1b. GENERATOR-PLAN RE-SYNC (config.gen_resync docstring):
+        # translate the generator's virtual world onto the reconciled
+        # plan's stance sole, so the reference pipeline progresses at the
+        # plant's realized speed instead of the commanded one
+        gen_state = s.gen_state
+        if cfg.rigid is not None and cfg.gen_resync:
+            plan0 = C.snap_to_grid(s.plan, mpc.dt)
+            idx0, in0 = C.active_phase(plan0, s.t)
+            _, _, pos0, _, _ = C.gather_phase(plan0, idx0)
+            w0 = ((in0 > 0.5) & (gen_state.contact > 0.5)).astype(dtype)
+            dxy = (
+                (pos0[:, 0:2] - gen_state.foot_pose_xy_yaw[:, 0:2])
+                * w0[:, None]
+            ).sum(0) / jnp.maximum(w0.sum(), 1.0)
+            gen_state = gen_state._replace(
+                base_xy=gen_state.base_xy + dxy,
+                hist_xy=gen_state.hist_xy + dxy,
+                foot_pose_xy_yaw=gen_state.foot_pose_xy_yaw.at[:, 0:2].add(dxy),
+            )
+
         # 2. MANN autoregression over its horizon; re-root at +mpc.dt
         _, outs, states = G.generate_with_states(
-            cfg.gen, model, self.weights, s.gen_state, desired
+            cfg.gen, model, self.weights, gen_state, desired
         )
         k = cfg.mann_advance - 1
         gen_next = jax.tree_util.tree_map(lambda a: a[k], states)
@@ -379,9 +404,9 @@ class WalkingController:
         # 4. MANN contact plan (absolute times). Prepend the generator's
         #    state at the current time so the ongoing stance phase covers t
         #    (otherwise the merged plan would have a one-sample hole at t).
-        flags = jnp.concatenate([s.gen_state.contact[None], outs.contact], axis=0)
+        flags = jnp.concatenate([gen_state.contact[None], outs.contact], axis=0)
         pose_tl = jnp.concatenate(
-            [s.gen_state.foot_pose_xy_yaw[None], outs.foot_pose_xy_yaw], axis=0
+            [gen_state.foot_pose_xy_yaw[None], outs.foot_pose_xy_yaw], axis=0
         )
         tl_times = s.t + jnp.concatenate([jnp.zeros(1, dtype), gen_times])
         foot_pos = jnp.concatenate(
@@ -408,7 +433,7 @@ class WalkingController:
         moving = jnp.linalg.norm(joypad[0:2]) > cfg.stand_threshold
         if cfg.stand_mode:
             sel = lambda a, b: jnp.where(moving, a, b)
-            gen_next = jax.tree_util.tree_map(sel, gen_next, s.gen_state)
+            gen_next = jax.tree_util.tree_map(sel, gen_next, gen_state)
             plan = jax.tree_util.tree_map(sel, plan, C.snap_to_grid(s.plan, mpc.dt))
             # hold CoM over the active-contact centroid at reference height
             act_now = C.mpc_stage_params(s.plan, s.t, 1, mpc.dt, mpc.n_slots)
@@ -496,13 +521,24 @@ class WalkingController:
             lagging = (about_to_lift | early_swing) & (
                 (load > s.dyn.gait_hold_thresh) | ~capture_ok
             )
-            want = jnp.any(lagging) & (s.dyn.gait_hold_window > 0)
+            # never pause while some foot is in LATE swing: freezing the
+            # clock then freezes that foot's descent mid-air (measured:
+            # a 0.2 s hover at apex while the base drifts away) — let it
+            # land first; the next double support is where holds help
+            late_swing = (feet_prev.in_contact < 0.5) & (
+                feet_prev.progress >= s.dyn.gait_hold_window
+            )
+            want = (
+                jnp.any(lagging)
+                & ~jnp.any(late_swing)
+                & (s.dyn.gait_hold_window > 0)
+            )
             hold = (want & (s.hold_time < s.dyn.gait_hold_max_s)).astype(dtype)
             hold_time = jnp.where(want, s.hold_time + mpc.dt, 0.0)
             selh = lambda frozen, live: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(hold > 0, a, b), frozen, live
             )
-            gen_next = selh(s.gen_state, gen_next)
+            gen_next = selh(gen_state, gen_next)
             plan = selh(prev_plan, plan)
 
         # CONTACT RECONCILIATION (config.reconcile_contacts docstring):
@@ -532,6 +568,26 @@ class WalkingController:
             plan = plan._replace(
                 pos=jnp.where(sel, meas_pos[:, None, :], plan.pos),
                 rot=jnp.where(sel[..., None], meas_rot[:, None], plan.rot),
+            )
+
+            # EARLY ACTIVATION (config.td_load_thresh docstring, (b)): a
+            # swinging foot that already carries load, with its planned
+            # activation within td_lookahead, becomes active in the plan
+            # NOW — the MPC force schedule, the fixed-foot detector and
+            # the desired ZMP gain the new support immediately
+            idxn_e, has_ne = C.next_phase(plan, s.t)
+            act_ne, _, _, _, _ = C.gather_phase(plan, idxn_e)
+            _, in_ce = C.active_phase(plan, s.t)
+            early_act = (
+                (in_ce < 0.5)
+                & (has_ne > 0.5)
+                & (load > s.dyn.td_load_thresh)
+                & (act_ne <= s.t + s.dyn.td_lookahead)
+                & (s.dyn.td_load_thresh > 0)
+            )
+            onehot_n = jnp.arange(plan.num_phases)[None, :] == idxn_e[:, None]
+            plan = plan._replace(
+                act=jnp.where(early_act[:, None] & onehot_n, s.t, plan.act)
             )
 
         # 6. solve the MPC from the integrated state (adherent loop)
@@ -711,6 +767,33 @@ class WalkingController:
             com_xy_int = jnp.where(s.dyn.com_int_band > 0, clipped, com_xy_int)
 
         feet = swing_foot.evaluate(s.plan, s.t, cfg.swing)
+
+        if cfg.rigid is not None:
+            # EARLY-TOUCHDOWN gate (config.td_load_thresh docstring, (a)):
+            # a late-swing foot that already measures ground load is DOWN —
+            # hold its target at the measured sole pose instead of driving
+            # it through the floor (measured: the un-gated descent command
+            # on an early-landed foot vaults the robot over it)
+            load_w = rbs.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
+            fRm2, fpm2 = kin.frame_poses(model, lR, lp)
+            early_td = (
+                (feet.in_contact < 0.5)
+                & (feet.progress > 0.5)
+                & (load_w > s.dyn.td_load_thresh)
+                & (s.dyn.td_load_thresh > 0)
+            )
+            sole_meas2 = jnp.stack(
+                [fpm2[model.frame_index("l_sole")], fpm2[model.frame_index("r_sole")]]
+            )
+            hold_pos2 = sole_meas2.at[:, 2].set(
+                jnp.maximum(sole_meas2[:, 2], 0.0)
+            )
+            g2 = early_td[:, None]
+            feet = feet._replace(
+                pos=jnp.where(g2, hold_pos2, feet.pos),
+                lin_vel=jnp.where(g2, 0.0, feet.lin_vel),
+                ang_vel=jnp.where(g2, 0.0, feet.ang_vel),
+            )
 
         if cfg.rigid is not None and cfg.lift_gate_window > 0.0:
             # contact-force-gated swing lift (config.lift_gate_window

@@ -95,6 +95,36 @@ class RigidBodyConfig:
     armature: float = 0.03  # kg m^2 rotor inertia added to M diagonal
 
 
+class RigidDynParams(NamedTuple):
+    """Plant parameters carried as TRACED scalars in RigidBodyState:
+    changing them (or vmapping over them — domain randomization) reuses
+    the compiled executable. Defaults come from RigidBodyConfig in
+    `initial_state`; override post-hoc via
+    `state._replace(params=state.params._replace(...))`."""
+
+    contact_kp: jnp.ndarray
+    contact_kd: jnp.ndarray
+    contact_mu: jnp.ndarray
+    contact_ks: jnp.ndarray
+    contact_kt: jnp.ndarray
+    anchor_relax_tau: jnp.ndarray
+    servo_kp: jnp.ndarray
+    servo_kd: jnp.ndarray
+    servo_ki: jnp.ndarray
+    servo_int_max: jnp.ndarray
+    tau_max: jnp.ndarray
+    joint_damping: jnp.ndarray
+
+
+def dyn_params(cfg: RigidBodyConfig, dtype=jnp.float32) -> RigidDynParams:
+    return RigidDynParams(
+        **{
+            f: jnp.asarray(getattr(cfg, f), dtype)
+            for f in RigidDynParams._fields
+        }
+    )
+
+
 class RigidBodyState(NamedTuple):
     base_rot: jnp.ndarray  # [3,3]
     base_pos: jnp.ndarray  # [3]
@@ -103,6 +133,7 @@ class RigidBodyState(NamedTuple):
     corner_forces: jnp.ndarray  # [nc, ncor, 3] last contact forces (world, N)
     anchors: jnp.ndarray  # [nc, ncor, 2] tangential friction anchors (world xy)
     servo_int: jnp.ndarray  # [nj] integral of the joint position error (N m)
+    params: RigidDynParams  # traced plant parameters (RigidDynParams doc)
 
 
 def initial_state(
@@ -112,6 +143,7 @@ def initial_state(
     base_pos,
     sole_frames: tuple = ("l_sole", "r_sole"),
     corners_local: np.ndarray | None = None,
+    cfg: RigidBodyConfig | None = None,
 ):
     dt = q0.dtype
     base_rot = jnp.asarray(base_rot, dt)
@@ -135,6 +167,7 @@ def initial_state(
         corner_forces=jnp.zeros(pts.shape, dt),
         anchors=pts[..., 0:2],
         servo_int=jnp.zeros((model.nj,), dt),
+        params=dyn_params(cfg if cfg is not None else RigidBodyConfig(), dt),
     )
 
 
@@ -329,6 +362,7 @@ def dynamics_step(
         jnp.zeros(3, dtp) if ext_force_base is None else jnp.asarray(ext_force_base, dtp)
     )
     h = dt / cfg.substeps
+    p_ = state.params  # traced plant parameters
 
     def substep(s: RigidBodyState, _):
         """Velocity-level implicit step (the ODE ERP/CFM analog).
@@ -368,22 +402,27 @@ def dynamics_step(
         # 8 deg foot tilt within 0.25 s of the first single-support phase).
         foot_down = (active.max(axis=1) > 0)[:, None, None]
         anchors0 = jnp.where(foot_down, s.anchors, xy)
-        if cfg.anchor_relax_tau > 0.0:
-            # stress relaxation (anchor_relax_tau docstring): DC spring
-            # preload decays; transient friction unaffected
-            anchors0 = anchors0 + (xy - anchors0) * (h / cfg.anchor_relax_tau)
+        # stress relaxation (anchor_relax_tau docstring): DC spring
+        # preload decays; transient friction unaffected. tau == 0 disables
+        # (branch-free: params are traced values)
+        relax = jnp.where(
+            p_.anchor_relax_tau > 0.0,
+            h / jnp.maximum(p_.anchor_relax_tau, 1e-6),
+            0.0,
+        )
+        anchors0 = anchors0 + (xy - anchors0) * relax
 
         # position-only force parts (velocity terms are implicit)
-        fz0 = cfg.contact_kp * pen * active
-        ft0 = -cfg.contact_ks * (xy - anchors0) * active[..., None]
+        fz0 = p_.contact_kp * pen * active
+        ft0 = -p_.contact_ks * (xy - anchors0) * active[..., None]
         f0 = jnp.concatenate([ft0, fz0[..., None]], axis=-1)
 
         qd = s.nu[6:]
         err = q_cmd - s.q
         s_int = jnp.clip(
-            s.servo_int + cfg.servo_ki * h * err,
-            -cfg.servo_int_max,
-            cfg.servo_int_max,
+            s.servo_int + p_.servo_ki * h * err,
+            -p_.servo_int_max,
+            p_.servo_int_max,
         )
         # tau_max clips the explicit P+I part only; the implicit damping
         # terms folded into the LHS via d_srv (servo_kd + h*servo_kp) add
@@ -393,9 +432,9 @@ def dynamics_step(
         # ERP implicit forces); if actuator realism ever becomes a claim,
         # saturate the total by solving with a clamped d_srv instead.
         tau_j0 = jnp.clip(
-            cfg.servo_kp * err + s_int, -cfg.tau_max, cfg.tau_max
+            p_.servo_kp * err + s_int, -p_.tau_max, p_.tau_max
         )
-        d_srv = cfg.servo_kd + cfg.joint_damping + h * cfg.servo_kp
+        d_srv = p_.servo_kd + p_.joint_damping + h * p_.servo_kp
         tau0 = jnp.concatenate([f_ext, jnp.zeros(3, dtp), tau_j0])
         M_srv = M + h * jnp.diag(
             jnp.concatenate([jnp.zeros(6, dtp), jnp.full((nj,), d_srv, dtp)])
@@ -403,8 +442,8 @@ def dynamics_step(
 
         def solve_with(act):
             """Implicit solve with the given corner active set."""
-            d_t = (cfg.contact_kt + h * cfg.contact_ks) * act
-            d_z = (cfg.contact_kd + h * cfg.contact_kp) * act
+            d_t = (p_.contact_kt + h * p_.contact_ks) * act
+            d_z = (p_.contact_kd + h * p_.contact_kp) * act
             D = jnp.stack([d_t, d_t, d_z], axis=-1)  # [nc,ncor,3]
             f0a = f0 * act[..., None]
             JDJ = jnp.einsum("ncxi,ncx,ncxj->ij", J_pts, D, J_pts)
@@ -443,7 +482,7 @@ def dynamics_step(
         # iterating the solve under the cap would re-introduce the explicit
         # stick-slip chatter the implicit scheme exists to kill.
         ft_foot = ft_raw.sum(axis=1)  # [nc, 2]
-        cap_foot = cfg.contact_mu * fz.sum(axis=1)  # [nc]
+        cap_foot = p_.contact_mu * fz.sum(axis=1)  # [nc]
         ft_foot_norm = jnp.linalg.norm(ft_foot, axis=-1)
         scale = jnp.minimum(1.0, cap_foot / jnp.maximum(ft_foot_norm, 1e-9))[
             :, None, None
@@ -457,7 +496,7 @@ def dynamics_step(
         # by the excess stretch: |ft| drops to exactly the cap
         slip = (
             -(ft_foot / jnp.maximum(ft_foot_norm, 1e-9)[:, None])[:, None, :]
-            * ((1.0 - scale[..., 0]) * ft_foot_norm[:, None] / cfg.contact_ks / 4.0)[
+            * ((1.0 - scale[..., 0]) * ft_foot_norm[:, None] / p_.contact_ks / 4.0)[
                 :, :, None
             ]
         )
@@ -471,7 +510,7 @@ def dynamics_step(
         base_rot = lie.so3_exp(h * nu_n[3:6]) @ s.base_rot
         q = s.q + h * nu_n[6:]
         return (
-            RigidBodyState(base_rot, base_pos, q, nu_n, fc, anchors, s_int),
+            RigidBodyState(base_rot, base_pos, q, nu_n, fc, anchors, s_int, p_),
             None,
         )
 

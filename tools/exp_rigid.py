@@ -54,6 +54,9 @@ def main():
                     help="WalkingConfig override k=v (repeatable)")
     ap.add_argument("--dynkw", nargs="*", default=[],
                     help="DynConfig override k=v (traced knobs — NO recompile)")
+    ap.add_argument("--rbdynkw", nargs="*", default=[],
+                    help="RigidDynParams override k=v (traced plant params — "
+                    "NO recompile; applied post-settle)")
     ap.add_argument("--rbkw", nargs="*", default=[],
                     help="RigidBodyConfig override k=v (repeatable)")
     ap.add_argument("--mpckw", nargs="*", default=[],
@@ -116,6 +119,11 @@ def main():
         s0 = s0._replace(dyn=s0.dyn._replace(
             **{k: jnp.asarray(float(v), jnp.float32) for k, v in dk.items()}
         ))
+    rdk = parse_kw(args.rbdynkw)
+    if rdk:
+        s0 = s0._replace(rb=s0.rb._replace(params=s0.rb.params._replace(
+            **{k: jnp.asarray(float(v), jnp.float32) for k, v in rdk.items()}
+        )))
     sN, tel = ctl.run_episode_blocked(s0, base)
 
     bp = np.asarray(tel.base_act_pos)
