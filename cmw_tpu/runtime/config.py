@@ -190,6 +190,16 @@ class WalkingConfig:
     # and desired ZMP gain the new support immediately. 0 disables.
     td_load_thresh: float = 0.10
     td_lookahead: float = 0.13
+    # PERFECT-STATE mode (rigid plant only, diagnostic): feed the
+    # controller the plant's ground-truth base pose instead of the
+    # legged-odometry estimate. Separates the two failure axes: with
+    # perfect state, any fall is the controller/gait/plant's fault; with
+    # odometry, landing errors corrupt the anchor frame and the
+    # controller chases phantoms (measured: estimated CoM 0.6 m from
+    # truth after the second off-plan landing). The reference runs the
+    # same plan-anchored odometry successfully only because its Gazebo
+    # landings are mm-accurate.
+    perfect_state: bool = False
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

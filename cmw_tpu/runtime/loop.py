@@ -143,6 +143,7 @@ class Telemetry(NamedTuple):
     fz_act: jnp.ndarray  # [nc] physical per-foot normal force sum (N)
     ft_act: jnp.ndarray  # [nc,2] physical per-foot tangential force sum (N)
     com_act: jnp.ndarray  # [3] ground-truth plant CoM (== com_meas if no rigid)
+    q_act: jnp.ndarray  # [nj] physical joint positions (== q if no rigid)
 
 
 class WalkingController:
@@ -466,9 +467,12 @@ class WalkingController:
             # constant — gating on it released into unrecoverable states)
             ff_r = fixed_foot.detect(prev_plan, s.t, cfg.odom.initial_fixed_index)
             odo_r = legged_odom.OdometryState(ff_r.index, ff_r.rot, ff_r.pos)
-            bR, bp = legged_odom.base_pose_fused(
-                model, odo_r, s.rb.q, s.rb.base_rot
-            )
+            if cfg.perfect_state:
+                bR, bp = s.rb.base_rot, s.rb.base_pos
+            else:
+                bR, bp = legged_odom.base_pose_fused(
+                    model, odo_r, s.rb.q, s.rb.base_rot
+                )
             lRr, lpr = kin.fk(model, s.rb.q, bR, bp)
             fRr, fpr = kin.frame_poses(model, lRr, lpr)
             li = model.frame_index("l_sole")
@@ -478,9 +482,12 @@ class WalkingController:
                 jnp.stack([lie.yaw_of(fRr[li]), lie.yaw_of(fRr[ri])])
             )
             com_r = kin.com(model, lRr, lpr)
-            nu_r = legged_odom.base_twist(
-                model, odo_r, s.rb.q, s.rb.nu[6:], bR, bp
-            )
+            if cfg.perfect_state:
+                nu_r = s.rb.nu[0:6]
+            else:
+                nu_r = legged_odom.base_twist(
+                    model, odo_r, s.rb.q, s.rb.nu[6:], bR, bp
+                )
             h_r = kin.centroidal_momentum(
                 model, lRr, lpr, jnp.concatenate([nu_r, s.rb.nu[6:]])
             )
@@ -682,7 +689,9 @@ class WalkingController:
         # rocking on a foot edge (legged_odom.base_pose_fused docstring)
         ff = fixed_foot.detect(s.plan, s.t, cfg.odom.initial_fixed_index)
         odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
-        if cfg.rigid is not None:
+        if cfg.rigid is not None and cfg.perfect_state:
+            base_est_R, base_est_p = rbs.base_rot, rbs.base_pos
+        elif cfg.rigid is not None:
             base_est_R, base_est_p = legged_odom.base_pose_fused(
                 model, odo, q_meas, rbs.base_rot
             )
@@ -711,14 +720,27 @@ class WalkingController:
         # the fixed-sole constraint, measured joint velocities
         if cfg.rigid is not None:
             qd_meas = rbs.nu[6:]  # ideal encoders on the rigid plant
-            nu_est = legged_odom.base_twist(
-                model, odo, q_meas, qd_meas, base_est_R, base_est_p
-            )
+            if cfg.perfect_state:
+                nu_est = rbs.nu[0:6]
+            else:
+                nu_est = legged_odom.base_twist(
+                    model, odo, q_meas, qd_meas, base_est_R, base_est_p
+                )
             h = kin.centroidal_momentum(
                 model, lR, lp, jnp.concatenate([nu_est, qd_meas])
             )
             meas9 = pack_state(com_meas, h[0:3] / self.mass, h[3:6] / self.mass)
-            x9 = x9 + (dt * s.dyn.state_fb_gain) * (meas9 - x9)
+            # LATERAL-ONLY feedback: blending the z channel makes the
+            # commanded height FOLLOW a physical sag — the IK's root-z
+            # error stays ~0, the legs never extend to push back, and a
+            # landing compression turns into an upright straight-down
+            # collapse (measured: base z 0.74 -> 0.36 in 0.5 s with the
+            # base perfectly level). Height must track the plan stiffly;
+            # only the horizontal channels (and L) follow reality.
+            fb_mask = jnp.asarray(
+                [1.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0, 1.0], x9.dtype
+            )
+            x9 = x9 + (dt * s.dyn.state_fb_gain) * fb_mask * (meas9 - x9)
             com_des3, dcom_des3 = x9[0:3], x9[3:6]
         # measured ZMP from the wrench sensors (evaluateZMP, :737-803)
         if cfg.rigid is not None:
@@ -902,6 +924,7 @@ class WalkingController:
                 if cfg.rigid is not None
                 else com_meas
             ),
+            q_act=rbs.q if cfg.rigid is not None else q,
         )
         return s2, tel
 

@@ -45,6 +45,7 @@ SCHEMA = {
     "fz_act": "physical per-foot normal-force sum [nc] (N)",
     "ft_act": "physical per-foot tangential-force sum [nc,2] (N)",
     "com_act": "ground-truth plant CoM [m] (== com_meas without rigid)",
+    "q_act": "physical joint positions [nj] (== q without rigid)",
 }
 
 

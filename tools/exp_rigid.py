@@ -162,7 +162,9 @@ def main():
         hld = np.asarray(tel.gait_hold)
         vc = np.asarray(tel.vcom_zmp)
         ft = np.asarray(tel.ft_act)
-        print("  t     bz    up    leanx  leany  fzL   fzR  fyL   fyR  cx_des cx_act | cy_des cy_ik  cy_est cy_act zdy    zmy    vcmdy | fLz_d fRz_d cL cR H")
+        qc = np.asarray(tel.q)
+        qa = np.asarray(tel.q_act)
+        print("  t     bz    up    leanx  leany  fzL   fzR  fyL   fyR  cx_des cx_act | cy_des cy_ik  cy_est cy_act zdy    zmy    vcmdy | kLc   kLa   kRc   kRa  | fLz_d fRz_d cL cR H")
         stride = args.trace_every if args.trace_every > 0 else max(1, S // 60)
         for t in np.arange(0, S, stride):
             print(f"  {t*dtw:4.2f} {bp[t,2]:.3f} {up[t]:+.3f} "
@@ -172,6 +174,7 @@ def main():
                   f"{com[t,0]:+.3f} {ca[t,0]:+.3f} | "
                   f"{com[t,1]:+.3f} {ci[t,1]:+.3f} {cm[t,1]:+.3f} {ca[t,1]:+.3f} "
                   f"{zd[t,1]:+.3f} {zm[t,1]:+.3f} {vc[t,1]:+.3f} | "
+                  f"{qc[t,3]:+.2f} {qa[t,3]:+.2f} {qc[t,9]:+.2f} {qa[t,9]:+.2f} | "
                   f"{fp[t,0,2]:+.3f} {fp[t,1,2]:+.3f} "
                   f"{fc[t,0]:.0f}  {fc[t,1]:.0f}  {hld[t]:.0f}")
 
