@@ -158,16 +158,25 @@ class WalkingController:
 
     # -- init -----------------------------------------------------------------
 
-    def polished_initial_pose(self, dtype=jnp.float32):
+    def polished_initial_pose(self, dtype=jnp.float32, drop: float = None):
         """The reference walk-ready crouch projected onto THIS model's
         constraint manifold: starting from kin.walk_ready_pose (which has
         residual sole tilts up to 1.2 deg — enough to spawn the rigid plant
         on a foot EDGE and ratchet-slide sideways during settling), iterate
         the production IK with targets 'both soles exactly flat on the
         ground, CoM over the feet centroid, posture near the crouch'.
-        Cached per controller."""
-        if getattr(self, "_polished_pose", None) is not None:
-            return self._polished_pose
+        Cached per controller (keyed by drop)."""
+        if drop is None:
+            drop = (
+                0.0
+                if self.cfg.com_height_override is not None
+                else self.cfg.com_height_drop
+            )
+        cache = getattr(self, "_polished_poses", None)
+        if cache is None:
+            cache = self._polished_poses = {}
+        if drop in cache:
+            return cache[drop]
         cfg, model = self.cfg, self.model
         q0_np, rot_np = kin.walk_ready_pose()
         q = jnp.asarray(q0_np, dtype)
@@ -198,17 +207,28 @@ class WalkingController:
             chest_rot=jnp.eye(3, dtype=dtype),
             q_reg=q,
         )
+        # optionally descend to the OPERATING height during the polish:
+        # the walking reference squats com_height_drop below standing (the
+        # reference pins 0.7 m, CentroidalMPCBlock.cpp:531-534). Starting
+        # — and regularizing the legs — at that height keeps the IK's
+        # soft leg-posture target consistent with the hard CoM-z
+        # constraint: with the legs regularized to a SHALLOWER crouch than
+        # the robot walks at, the QP prefers pitching the base backward
+        # over bending the knees deeper, and the pelvis measurably drifts
+        # 30+ deg over a few steps on the rigid plant. (The MANN seed
+        # keeps the drop=0 walk-ready pose — its training distribution.)
+        z_target = base_pos[2] - drop
         h = 0.05
         for _ in range(60):
             lR, lp = kin.fk(model, q, base_rot, base_pos)
-            targets = targets._replace(root_z=base_pos[2])  # keep root height
+            targets = targets._replace(root_z=z_target)
             nu = solve_ik(model, q, base_rot, base_pos, targets, cfg.ik)
             base_rot, base_pos = lie.integrate_mixed_velocity(
                 base_rot, base_pos, nu[0:3], nu[3:6], h
             )
             q = q + h * nu[6:]
-        self._polished_pose = (q, base_rot)
-        return self._polished_pose
+        cache[drop] = (q, base_rot)
+        return cache[drop]
 
     def initial_state(self, q0=None, base_rot0=None, dtype=jnp.float32) -> LoopState:
         """Default start = the reference's walk-ready crouch + pitched base
@@ -229,10 +249,13 @@ class WalkingController:
         lR, lp = kin.fk(model, q0, base_rot0, base_pos)
         fR, fp = kin.frame_poses(model, lR, lp)
         com0 = kin.com(model, lR, lp)
+        # the polish already descended to the operating height (see
+        # polished_initial_pose) — the reference is the INITIAL CoM height,
+        # so the legs' regularization pose matches the walking crouch
         com_z_ref = (
             cfg.com_height_override
             if cfg.com_height_override is not None
-            else com0[2] - cfg.com_height_drop
+            else com0[2]
         )
 
         # initial double-stance plan
@@ -256,7 +279,12 @@ class WalkingController:
         _, _, corner_k = F.interval_contact_geometry(
             cfg.mpc, stage, stage.slot_pos_nom
         )
-        gen0 = G.initial_state(cfg.gen, model, q0)
+        # MANN seed: the walk-ready (drop=0) crouch — the network's
+        # training distribution (the reference seeds it with the Gazebo
+        # spawn pose, CentroidalMPCBlock.cpp:271-370) — even when the
+        # robot itself starts at the deeper operating crouch
+        q_ready, _ = self.polished_initial_pose(dtype, drop=0.0)
+        gen0 = G.initial_state(cfg.gen, model, q_ready)
 
         # rigid-body plant: spawn at the desired pose, settle onto the
         # penalty contact holding q0, then bootstrap the centroidal
@@ -836,13 +864,21 @@ class WalkingController:
                 ang_vel=gate * feet.ang_vel,
             )
 
-        # chest set-point: orientation of the chest under the regularization
-        # configuration (measured base + q_reg), NOT a bare yaw rotation —
-        # the reference builds it from m_kinDynWithRegularization
-        # (WholeBodyQPBlock.cpp:1222,981-986)
+        # chest set-point: WORLD-UPRIGHT at the regularization config's yaw
+        # — the reference takes ONLY the yaw of the kinDynWithRegularization
+        # chest rotation and targets Rz(yaw) ("to better stabilize the
+        # robot we add a task on the chest only for the yaw",
+        # WholeBodyQPBlock.cpp:1219-1228). The roll/pitch-to-zero part is
+        # the loop's ONLY world anchoring of the upper-body orientation:
+        # targeting the full regularization rotation instead (round-2
+        # behavior) leaves base pitch unconstrained, and the pelvis
+        # measurably drifts 30+ deg backward over a few steps on the rigid
+        # plant while the ZMP stays balanced.
         rlR, rlp = kin.fk(model, s.q_reg, base_est_R, base_est_p)
         rfR, _ = kin.frame_poses(model, rlR, rlp)
-        chest_rot_target = rfR[model.frame_index(cfg.ik.chest_frame)]
+        chest_rot_target = lie.rotz(
+            lie.yaw_of(rfR[model.frame_index(cfg.ik.chest_frame)])
+        )
 
         targets = IKTargets(
             foot_rot=feet.rot,

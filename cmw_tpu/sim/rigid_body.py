@@ -87,10 +87,20 @@ class RigidBodyConfig:
     # takes seconds to cancel gravity sag, which the gait-start squat
     # cannot afford.
     servo_kp: float = 3000.0  # N m/rad
-    servo_kd: float = 30.0  # N m s/rad
+    # servo_kd retuned round 3 (was 30): at kd=30 the robot rides a
+    # zeta ~ 0.1 suspension — stance-foot normal force oscillates
+    # 0..2x mg at 3-5 Hz, rocking the sole enough to corrupt the odometry
+    # anchor by +-5-10 cm per step. kd=150 (zeta ~ 0.45 on the vertical
+    # leg mode) measured: gait survival 1.38 s -> 1.88 s with everything
+    # else fixed, and the force trace loses the near-zero minima.
+    servo_kd: float = 150.0  # N m s/rad
     servo_ki: float = 4000.0  # N m/(rad s)
     servo_int_max: float = 90.0  # N m anti-windup clamp on the I term
-    tau_max: float = 190.0  # N m actuator torque limit
+    # tau_max raised round 3 (was 190): the stance knee saturated at 190
+    # under single-support load + tracking transients and the base sagged
+    # through the support phase (measured). Gazebo's patched PID
+    # effectively has no totals cap either (icub-models.patch).
+    tau_max: float = 400.0  # N m actuator torque limit
     joint_damping: float = 0.5  # N m s/rad passive
     armature: float = 0.03  # kg m^2 rotor inertia added to M diagonal
 

@@ -58,7 +58,7 @@ def test_free_fall_com_acceleration(model):
     cfg = rb.RigidBodyConfig(
         substeps=1, servo_kp=0.0, servo_kd=0.0, servo_ki=0.0, joint_damping=0.0, armature=0.0
     )
-    s = rb.initial_state(model, q, base_rot, base_pos)
+    s = rb.initial_state(model, q, base_rot, base_pos, cfg=cfg)
     rng = np.random.default_rng(2)
     s = s._replace(nu=jnp.asarray(0.3 * rng.normal(size=6 + model.nj), jnp.float32))
 
@@ -90,7 +90,7 @@ def test_passive_energy_conservation(model):
     cfg = rb.RigidBodyConfig(
         substeps=1, servo_kp=0.0, servo_kd=0.0, servo_ki=0.0, joint_damping=0.0, armature=0.0
     )
-    s = rb.initial_state(model, q, base_rot, base_pos)
+    s = rb.initial_state(model, q, base_rot, base_pos, cfg=cfg)
     rng = np.random.default_rng(3)
     s = s._replace(nu=jnp.asarray(0.5 * rng.normal(size=6 + model.nj), jnp.float32))
 
@@ -123,7 +123,7 @@ def test_standing_equilibrium(model):
     base_pos = jnp.asarray([0.0, 0.0, -float(fp[li, 2])], jnp.float32)
 
     cfg = rb.RigidBodyConfig()
-    s = rb.initial_state(model, q0, jnp.eye(3, dtype=jnp.float32), base_pos)
+    s = rb.initial_state(model, q0, jnp.eye(3, dtype=jnp.float32), base_pos, cfg=cfg)
     dt = 2e-3
     step = jax.jit(lambda st: rb.dynamics_step(cfg, model, st, q0, dt))
     for _ in range(250):  # 0.5 s

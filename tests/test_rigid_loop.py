@@ -37,6 +37,37 @@ def ctl():
     )
 
 
+@pytest.fixture(scope="module")
+def ctl_walk():
+    """The round-3 measured walking operating point (RESULTS.md §5c):
+    deeper crouch for knee margin, higher swing clearance against
+    pitch-induced scuffing, perfect-state estimation (the estimator
+    robustness gap is tracked separately)."""
+    from cmw_tpu.wbc.swing_foot import SwingFootConfig
+
+    model = kin.ergocub_approx()
+    weights = load_mann_weights(MANN4)
+    return WalkingController(
+        ergocub_gazebo_v1(
+            rigid=RigidBodyConfig(),
+            perfect_state=True,
+            com_height_drop=0.10,
+            swing=SwingFootConfig(step_height=0.07),
+        ),
+        model,
+        weights,
+    )
+
+
+def ramped_inputs(S, vx, ramp_s, dt=0.002):
+    base = constant_inputs(S, (vx, 0.0, 1.0, 0.0))
+    t = jnp.arange(S) * dt
+    r = jnp.clip(t / ramp_s, 0.0, 1.0)
+    return base._replace(
+        joypad=base.joypad * jnp.stack([r, r, jnp.ones(S), jnp.ones(S)], axis=1)
+    )
+
+
 def test_rigid_initial_state_settled(ctl):
     """The plant settles onto the contact during initial_state: feet loaded
     with ~mg, base at the walk-ready crouch orientation (pitched by
@@ -47,22 +78,21 @@ def test_rigid_initial_state_settled(ctl):
     mg = ctl.model.total_mass * 9.80665
     fz = float(jnp.sum(s0.rb.corner_forces[..., 2]))
     assert abs(fz - mg) / mg < 0.1, (fz, mg)
-    # settled base within ~2 deg of the commanded crouch orientation
-    _, crouch_rot = kin.walk_ready_pose()
-    rel = np.asarray(s0.rb.base_rot) @ np.asarray(crouch_rot).T
-    assert rel[2, 2] > np.cos(np.radians(2.0)), rel
+    # settled base within ~3 deg of the polished initial pose's base
+    # orientation (the walking crouch after the IK polish — the chest
+    # task's world-upright anchoring rotates it off the raw spawn pose)
+    _, pol_rot = ctl.polished_initial_pose()
+    rel = np.asarray(s0.rb.base_rot) @ np.asarray(pol_rot).T
+    assert rel[2, 2] > np.cos(np.radians(3.0)), rel
     assert float(jnp.abs(s0.rb.nu).max()) < 0.1
     # x9 bootstrap = odometry CoM of the settled plant
     assert abs(float(s0.x9[2]) - float(s0.rb.base_pos[2]) + float(s0.root_z_off)) < 0.03
 
 
-def test_rigid_step_in_place(ctl):
-    """Stepping in place on the physical plant: upright, finite, no fall.
-
-    Thresholds from tools/diag_rigid.py on TPU: the gait-start CoM surge
-    (MANN's standing reference sits ~2.3 cm ahead of the model CoM) rocks
-    the robot to ~16 deg before the stabilizer catches it; it recovers to
-    upright between excursions."""
+def test_rigid_stand(ctl):
+    """Standing (stand-mode) on the physical plant: upright, finite, no
+    fall. With zero commanded motion the MANN freezes and the MPC holds
+    the stance — the plant must just stand there."""
     S = 900  # 1.8 s
     sN, tel = ctl.run_episode_blocked(
         ctl.initial_state(), constant_inputs(S, (0.0, 0.0, 1.0, 0.0))
@@ -70,31 +100,30 @@ def test_rigid_step_in_place(ctl):
     up = np.asarray(tel.base_act_up)
     bz = np.asarray(tel.base_act_pos)[:, 2]
     assert np.isfinite(up).all() and np.isfinite(bz).all()
-    # the closed loop is chaotic enough that CPU/TPU trajectories diverge
-    # in detail; assert the stability envelope, not exact waypoints:
-    # bounded tilt at all times and a recovery peak near the end (the
-    # support-exchange excursions come and go at the stepping period)
-    assert up.min() > 0.8, up.min()  # bounded tilt at all times (falls hit <0.2)
+    assert up.min() > 0.8, up.min()  # bounded tilt at all times
     assert up[-300:].max() > 0.9, up[-300:].max()
-    assert bz.min() > 0.65, bz.min()  # no collapse
+    assert bz.min() > 0.55, bz.min()  # no collapse
     assert np.asarray(tel.foot_contact).sum(1).min() >= 1.0
 
 
-def test_rigid_walk_forward(ctl):
-    """Commanded forward walk physically advances the robot.
+def test_rigid_walk_forward(ctl_walk):
+    """Commanded forward walk physically advances the robot through its
+    first steps at the measured round-3 operating point.
 
-    Known gap (RESULTS.md §5): sustained walking beyond ~1.3 s tips over
-    laterally during single support — the assertion window stops at 1.0 s,
-    by which the physical robot has taken its first steps and travelled
-    forward while staying upright."""
-    S = 480  # 0.96 s
-    sN, tel = ctl.run_episode_blocked(
-        ctl.initial_state(), constant_inputs(S, (0.8, 0.0, 1.0, 0.0))
+    Known gap (RESULTS.md §5c): sustained walking beyond ~2.4 s / 3 steps
+    still ends in a forward-momentum vault (the braking torque pitches
+    the torso instead of decelerating the CoM) — the assertion window
+    stops at 1.4 s, within the TPU-measured 2.4 s survival with margin
+    for CPU/TPU chaotic divergence. Envelope asserts only: the closed
+    loop is chaotic across platforms."""
+    S = 720  # 1.44 s
+    sN, tel = ctl_walk.run_episode_blocked(
+        ctl_walk.initial_state(), ramped_inputs(S, 0.8, 1.0)
     )
     up = np.asarray(tel.base_act_up)
     bp = np.asarray(tel.base_act_pos)
     assert np.isfinite(bp).all()
-    assert up.min() > 0.75, up.min()
-    assert bp[:, 2].min() > 0.55, bp[:, 2].min()
+    assert up.min() > 0.72, up.min()
+    assert bp[:, 2].min() > 0.5, bp[:, 2].min()
     # the PHYSICAL base moved forward
-    assert bp[-1, 0] - bp[0, 0] > 0.1, bp[-1, 0] - bp[0, 0]
+    assert bp[-1, 0] - bp[0, 0] > 0.08, bp[-1, 0] - bp[0, 0]

@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--mpckw", nargs="*", default=[],
                     help="MPCConfig override k=v (repeatable)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save", default="", help="save full telemetry npz here")
     args = ap.parse_args()
 
     def parse_kw(items):
@@ -86,6 +87,9 @@ def main():
         v = kw.pop("gains_zmp"); g["zmp_gain"] = (v, v)
     if g:
         kw["gains"] = CoMZMPGains(**{**_dc.asdict(CoMZMPGains()), **g})
+    if "swing_height" in kw:
+        from cmw_tpu.wbc.swing_foot import SwingFootConfig
+        kw["swing"] = SwingFootConfig(step_height=float(kw.pop("swing_height")))
     if args.mpckw:
         from cmw_tpu.cmpc.formulation import MPCConfig
         kw["mpc"] = _dc.replace(MPCConfig(), **parse_kw(args.mpckw))
@@ -125,6 +129,10 @@ def main():
             **{k: jnp.asarray(float(v), jnp.float32) for k, v in rdk.items()}
         )))
     sN, tel = ctl.run_episode_blocked(s0, base)
+    if args.save:
+        from cmw_tpu.runtime import telemetry as _tm
+        _tm.save(args.save, tel, cfg.wbc_dt)
+        print(f"saved telemetry -> {args.save}")
 
     bp = np.asarray(tel.base_act_pos)
     up = np.asarray(tel.base_act_up)
