@@ -90,9 +90,21 @@ def main():
     if "swing_height" in kw:
         from cmw_tpu.wbc.swing_foot import SwingFootConfig
         kw["swing"] = SwingFootConfig(step_height=float(kw.pop("swing_height")))
-    if args.mpckw:
+    bbox_x = kw.pop("bbox_x", None)
+    if args.mpckw or bbox_x is not None:
         from cmw_tpu.cmpc.formulation import MPCConfig
-        kw["mpc"] = _dc.replace(MPCConfig(), **parse_kw(args.mpckw))
+        mpc = _dc.replace(MPCConfig(), **parse_kw(args.mpckw))
+        if bbox_x is not None:
+            # widen the footstep-adjustment x-authority (the reference's
+            # +-0.01 m, centroidal_mpc.ini:30-31,41-42) — lets the MPC
+            # absorb forward momentum by stepping longer
+            bx = float(bbox_x)
+            mpc = _dc.replace(
+                mpc,
+                bbox_lower=tuple((-bx, lo[1], lo[2]) for lo in mpc.bbox_lower),
+                bbox_upper=tuple((bx, hi[1], hi[2]) for hi in mpc.bbox_upper),
+            )
+        kw["mpc"] = mpc
     cfg = ergocub_gazebo_v1(rigid=rb, **kw)
     if args.noadjust:
         kw.pop("mpc", None)
