@@ -90,6 +90,10 @@ def main():
     if "swing_height" in kw:
         from cmw_tpu.wbc.swing_foot import SwingFootConfig
         kw["swing"] = SwingFootConfig(step_height=float(kw.pop("swing_height")))
+    if "chest_weight" in kw:
+        from cmw_tpu.wbc.diff_ik import IKConfig
+        w = float(kw.pop("chest_weight"))
+        kw["ik"] = _dc.replace(IKConfig(), chest_weight=(w, w, w))
     bbox_x = kw.pop("bbox_x", None)
     if args.mpckw or bbox_x is not None:
         from cmw_tpu.cmpc.formulation import MPCConfig
