@@ -335,22 +335,36 @@ def constraint_op(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32) -> C
 
 def op_matvec(cfg: MPCConfig, op: ConstraintOp, z):
     """A z: [n] -> [m]. Blocks: force identity; friction cone (local frame);
-    contact position in contact frame."""
+    contact position in contact frame.
+
+    The tiny contractions (c=3 / d=5) are written as explicit
+    broadcast-multiply-sum rather than einsum: XLA lowers the einsum form
+    to dot_general with batch dims, whose operand layout ({3,4,...} minor
+    ordering) disagrees with the loop carry's canonical layout — measured
+    ~10 ms/solve of pure `copy`/`reshape` data formatting inside the
+    batched ADMM loop at batch 512 on v5e. The broadcast form stays a
+    single loop fusion in the carry's native layout."""
     F, P = unpack_z(cfg, z)
-    cone = jnp.einsum("tidc,tijc->tijd", op.cone_coeff, F)
-    p_loc = jnp.einsum("isba,isb->isa", op.slot_rot, P)
+    # [t,i,j,d] = sum_c coeff[t,i,d,c] * F[t,i,j,c]
+    cone = jnp.sum(op.cone_coeff[:, :, None, :, :] * F[:, :, :, None, :], axis=-1)
+    # [i,s,a] = sum_b rot[i,s,b,a] * P[i,s,b]
+    p_loc = jnp.sum(op.slot_rot * P[:, :, :, None], axis=-2)
     return jnp.concatenate([F.reshape(-1), cone.reshape(-1), p_loc.reshape(-1)])
 
 
 def op_rmatvec(cfg: MPCConfig, op: ConstraintOp, y):
-    """A^T y: [m] -> [n]."""
+    """A^T y: [m] -> [n]. (Broadcast-sum form — see op_matvec.)"""
     tcc3 = cfg.n_forces
     tcc5 = cfg.T * cfg.n_contacts * cfg.n_corners * 5
     y1 = y[:tcc3].reshape(cfg.T, cfg.n_contacts, cfg.n_corners, 3)
     y2 = y[tcc3 : tcc3 + tcc5].reshape(cfg.T, cfg.n_contacts, cfg.n_corners, 5)
     y3 = y[tcc3 + tcc5 :].reshape(cfg.n_contacts, cfg.n_slots, 3)
-    gF = y1 + jnp.einsum("tijd,tidc->tijc", y2, op.cone_coeff)
-    gP = jnp.einsum("isa,isba->isb", y3, op.slot_rot)
+    # [t,i,j,c] = sum_d y2[t,i,j,d] * coeff[t,i,d,c]
+    gF = y1 + jnp.sum(
+        y2[..., :, None] * op.cone_coeff[:, :, None, :, :], axis=-2
+    )
+    # [i,s,b] = sum_a y3[i,s,a] * rot[i,s,b,a]
+    gP = jnp.sum(op.slot_rot * y3[:, :, None, :], axis=-1)
     return jnp.concatenate([gF.reshape(-1), gP.reshape(-1)])
 
 

@@ -56,8 +56,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, cfg)
 
 
-def _kernel(iters, sigma, alpha, minv_ref, a_ref, q_ref, l_ref, u_ref,
-            rho_ref, rinv_ref, x0_ref, zc0_ref, y0_ref,
+def _kernel(iters, sigma, alpha, mxu_dtype, minv_ref, a_ref, q_ref, l_ref,
+            u_ref, rho_ref, rinv_ref, x0_ref, zc0_ref, y0_ref,
             x_out, zc_out, y_out):
     Minv = minv_ref[0]  # [np, np] (symmetric)
     A = a_ref[0]  # [mp, np]
@@ -67,22 +67,62 @@ def _kernel(iters, sigma, alpha, minv_ref, a_ref, q_ref, l_ref, u_ref,
     rho = rho_ref[0]
     rinv = rinv_ref[0]
 
+    # MXU operand precision (mxu_dtype):
+    #  "f32"    — exact f32 matmuls (Mosaic multi-pass; slowest)
+    #  "bf16"   — cast the loop-invariant matrices AND the per-iteration
+    #             vector operands to bf16; f32 accumulation. ~2x MXU rate,
+    #             operands carry bf16 rounding (~3 decimal digits).
+    #  "bf16x2" — split each matrix into hi + lo bf16 halves (the classic
+    #             two-term Dekker split: hi = bf16(M), lo = bf16(M - hi))
+    #             and accumulate both products in f32: near-f32 operand
+    #             precision at 2 bf16 passes — still ~matching f32-pass
+    #             cost on the matrix side but the VECTOR operand stays
+    #             bf16-rounded, so accuracy sits between bf16 and f32.
+    # The casts happen ONCE per grid cell (loop-invariant values live in
+    # VMEM/registers across all `iters` iterations).
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    if mxu_dtype == "bf16":
+        Mh, Ah = Minv.astype(bf16), A.astype(bf16)
+
+        def mm(v, M, dims):
+            return jax.lax.dot_general(
+                v.astype(bf16), M[0], dims, preferred_element_type=f32
+            )
+
+        mats = ((Mh,), (Ah,))
+    elif mxu_dtype == "bf16x2":
+        Mh = Minv.astype(bf16)
+        Ml = (Minv - Mh.astype(f32)).astype(bf16)
+        Ah = A.astype(bf16)
+        Al = (A - Ah.astype(f32)).astype(bf16)
+
+        def mm(v, M, dims):
+            hi, lo = M
+            vb = v.astype(bf16)
+            return jax.lax.dot_general(
+                vb, hi, dims, preferred_element_type=f32
+            ) + jax.lax.dot_general(vb, lo, dims, preferred_element_type=f32)
+
+        mats = ((Mh, Ml), (Ah, Al))
+    else:
+
+        def mm(v, M, dims):
+            return jax.lax.dot_general(
+                v, M[0] if isinstance(M, tuple) else M, dims,
+                preferred_element_type=f32,
+            )
+
+        mats = ((Minv,), (A,))
+    Mop, Aop = mats
+
     def body(_, carry):
         x, zc, y = carry  # [SUB, np], [SUB, mp], [SUB, mp]
         w = rho * zc - y
-        atw = jax.lax.dot_general(
-            w, A, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SUB, np]
+        atw = mm(w, Aop, (((1,), (0,)), ((), ())))  # [SUB, np]
         rhs = sigma * x - q + atw
-        x = jax.lax.dot_general(
-            rhs, Minv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SUB, np] (Minv symmetric)
-        ax = jax.lax.dot_general(
-            x, A, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SUB, mp]
+        x = mm(rhs, Mop, (((1,), (0,)), ((), ())))  # [SUB, np] (symmetric)
+        ax = mm(x, Aop, (((1,), (1,)), ((), ())))  # [SUB, mp]
         zh = alpha * ax + (1.0 - alpha) * zc
         zc = jnp.clip(zh + y * rinv, l, u)
         y = y + rho * (zh - zc)
@@ -97,11 +137,12 @@ def _kernel(iters, sigma, alpha, minv_ref, a_ref, q_ref, l_ref, u_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
+    jax.jit,
+    static_argnames=("iters", "sigma", "alpha", "interpret", "mxu_dtype"),
 )
 def admm_fused_pallas(minv, A, q, l, u, rho, x0, zc0, y0,
                       iters: int, sigma: float = 1e-6, alpha: float = 1.6,
-                      interpret: bool = False):
+                      interpret: bool = False, mxu_dtype: str = "f32"):
     """Run `iters` ADMM iterations fully on-chip.
 
     minv [B, n, n], A [B, m, n], q/x0 [B, n], l/u/rho/zc0/y0 [B, m].
@@ -133,7 +174,7 @@ def admm_fused_pallas(minv, A, q, l, u, rho, x0, zc0, y0,
     vec_m = pl.BlockSpec((1, SUB, mpad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
     x, zc, y = pl.pallas_call(
-        functools.partial(_kernel, iters, sigma, alpha),
+        functools.partial(_kernel, iters, sigma, alpha, mxu_dtype),
         out_shape=(
             jax.ShapeDtypeStruct((B, SUB, npad), minv.dtype),
             jax.ShapeDtypeStruct((B, SUB, mpad), minv.dtype),
