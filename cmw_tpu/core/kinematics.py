@@ -181,6 +181,66 @@ def com_jacobian(model: RobotModel, link_R, link_p):
     return jnp.concatenate([base, Jq], axis=-1)
 
 
+def link_com_jacobians(model: RobotModel, link_R, link_p):
+    """Per-link CoM linear + angular Jacobians, mixed representation.
+
+    Returns (c_world [nl,3], Jv [nl,3,6+nj], Jw [nl,3,6+nj]). Shared by
+    the rigid-body plant's mass matrix (sim/rigid_body.py) and the
+    centroidal momentum matrix below."""
+    dt = link_R.dtype
+    nj, nl = model.nj, model.nj + 1
+    anc = jnp.asarray(_ancestor_matrix(model), dt)  # [nl, nj]
+    c_local = jnp.asarray(model.link_com, dt)
+    c_world = link_p + jnp.einsum("lij,lj->li", link_R, c_local)  # [nl,3]
+    axis_w, pivot = joint_world_axes(model, link_R, link_p)
+
+    eye3 = jnp.eye(3, dtype=dt)
+    # angular: [0 | I | anc * axis]
+    Jw_q = anc[:, None, :] * jnp.swapaxes(axis_w, 0, 1)[None]  # [nl,3,nj]
+    Jw = jnp.concatenate(
+        [jnp.zeros((nl, 3, 3), dt), jnp.broadcast_to(eye3, (nl, 3, 3)), Jw_q],
+        axis=-1,
+    )
+    # linear: [I | -hat(c_l - p_base) | anc * axis x (c_l - pivot)]
+    arms = c_world[:, None, :] - pivot[None, :, :]  # [nl,nj,3]
+    cols = jnp.cross(axis_w[None, :, :], arms)  # [nl,nj,3]
+    Jv_q = anc[:, None, :] * jnp.swapaxes(cols, 1, 2)  # [nl,3,nj]
+    Jv = jnp.concatenate(
+        [
+            jnp.broadcast_to(eye3, (nl, 3, 3)),
+            -lie.hat(c_world - link_p[0]),
+            Jv_q,
+        ],
+        axis=-1,
+    )
+    return c_world, Jv, Jw
+
+
+def centroidal_momentum_matrix(model: RobotModel, link_R, link_p):
+    """Centroidal momentum matrix A_h [6, 6+nj]:  h = A_h @ nu  with
+    h = [linear; angular about the CoM] and nu mixed-representation.
+
+    The angular rows are what the optional IK angular-momentum task
+    consumes (wbc/diff_ik.py): BLF ships the same capability as
+    `IK::AngularMomentumTask` (unused by the reference's ik.ini task
+    stack, WholeBodyQPBlock.cpp:131-175 — enabled here for the rigid
+    plant, where uncoordinated torso pitch otherwise swallows the MPC's
+    planned braking momentum)."""
+    dt = link_R.dtype
+    m = jnp.asarray(model.link_mass, dt)
+    c_world, Jv, Jw = link_com_jacobians(model, link_R, link_p)
+    com_w = jnp.einsum("l,li->i", m, c_world) / model.total_mass
+    A_lin = jnp.einsum("l,lxk->xk", m, Jv)
+    I_w = jnp.einsum(
+        "lab,lbc,ldc->lad", link_R, jnp.asarray(model.link_inertia, dt), link_R
+    )
+    r = c_world - com_w[None, :]
+    A_ang = jnp.einsum("l,lab,lbk->ak", m, lie.hat(r), Jv) + jnp.einsum(
+        "lab,lbk->ak", I_w, Jw
+    )
+    return jnp.concatenate([A_lin, A_ang], axis=0)
+
+
 def centroidal_momentum(model: RobotModel, link_R, link_p, nu):
     """Centroidal momentum h = [linear; angular] / given nu = [v_base(3),
     w_base(3), qdot(nj)] in mixed representation. Used by the MANN
@@ -509,6 +569,39 @@ def ergocub_approx() -> RobotModel:
         frame_link=np.array([frames[f][0] for f in fnames]),
         frame_pos=np.stack([frames[f][2] for f in fnames]),
         frame_rot=np.stack([frames[f][1] for f in fnames]),
+    )
+
+
+def ergocub_urdf(path: str | None = None) -> RobotModel:
+    """The checked-in ergoCub URDF (cmw_tpu/models/ergocub.urdf) through the
+    full `parse_urdf` reduction path — the reference's runtime model load
+    (iDynTree ModelLoader on findFileByName("model.urdf"),
+    CentroidalMPCBlock.cpp:150-151, reduced to the 26-joint joints_list).
+
+    PROVENANCE: the authoritative icub-models URDF is unobtainable in this
+    offline environment; the shipped file is the documented best-effort
+    stand-in generated by tools/gen_ergocub_urdf.py — the calibrated
+    ergocub_approx() skeleton with a realistic anthropometric inertial
+    distribution (56.6 kg, off-axis segment CoMs, welded feet/head/hands/
+    battery). ergocub_approx() vs ergocub_urdf() is therefore a controlled
+    inertial-model-error A/B (tools/exp_rigid.py --urdf)."""
+    if path is None:
+        path = __import__("os").path.join(
+            __import__("os").path.dirname(__import__("os").path.dirname(
+                __import__("os").path.abspath(__file__))),
+            "models", "ergocub.urdf",
+        )
+    return parse_urdf(
+        path,
+        "root_link",
+        list(ERGOCUB_JOINTS),
+        frames={
+            "root_link": "root_link",
+            "l_sole": "l_sole_frame",
+            "r_sole": "r_sole_frame",
+            "chest": "chest_frame",
+            "head": "head_frame",
+        },
     )
 
 

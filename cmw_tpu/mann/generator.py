@@ -55,6 +55,14 @@ class GeneratorConfig:
     dt: float = 0.02  # mann.ini:13
     time_horizon: float = 0.8  # mann.ini:15
     past_horizon: float = 1.0  # mann.ini:60 past_projected_base_horizon
+    # REAL-TIME stretch of the generated gait (mann.ini:16; 5.0 on
+    # ergoCubGazeboV1_1 / ergoCubSN000 / ergoCubSN001): the network rolls
+    # in its own 50 Hz gait time, but each output step is stamped
+    # slow_down_factor * dt apart in controller time
+    # (CentroidalMPCBlock.cpp:202-211 scales the frequency-adapter input
+    # knots; :262-265 scales the mannCallingTime lcm). The autoregression
+    # and Schmitt triggers below are untouched (they live in gait time).
+    slow_down_factor: float = 1.0
     # Schmitt triggers (mann.ini:33-55)
     on_threshold: float = 0.01
     off_threshold: float = 0.01

@@ -200,6 +200,17 @@ class WalkingConfig:
     # same plan-anchored odometry successfully only because its Gazebo
     # landings are mm-accurate.
     perfect_state: bool = False
+    # ANGULAR-MOMENTUM IK TASK weight (rigid plant only; 0 disables).
+    # BLF ships IK::AngularMomentumTask but the reference's ik.ini never
+    # enables it (WholeBodyQPBlock.cpp:131-175) — its Gazebo plant tracks
+    # tightly enough that base pitch stays incidental. On our plant the
+    # step-4 forward-momentum vault (RESULTS.md §5c) is exactly an
+    # uncoordinated-momentum failure: the MPC's braking force pitches the
+    # torso (soft chest task) instead of decelerating the CoM. The task
+    # adds soft rows (A_ang(q)/m) nu = L_plan to the IK so whole-body
+    # rotation tracks the MPC's planned angular momentum. Traced
+    # (DynConfig.ang_mom_w) — sweep without recompiling.
+    ang_mom_task_weight: float = 0.0
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of
@@ -218,11 +229,46 @@ class WalkingConfig:
         return int(round(self.mpc.dt / self.wbc_dt))
 
     @property
+    def mann_calling_time(self) -> float:
+        """mannCallingTime = lcm(slow_down_factor * gen dT, MPC dT)
+        (CentroidalMPCBlock.cpp:262-265): the generator is advanced only
+        when this much gait time has elapsed since the previous call;
+        between calls the stored MANN output is re-sliced at absolute
+        times by the frequency adapters (:477-500,544-577). Factor-1
+        sim robots: lcm(20 ms, 60 ms) = 60 ms = every MPC tick;
+        ergoCubSN000 (factor 5, 100 ms MPC): 100 ms = every tick;
+        ergoCubSN001 (factor 5, 60 ms MPC): 300 ms = every 5th tick."""
+        import math
+
+        a = round(self.gen.slow_down_factor * self.gen.dt * 1e6)
+        b = round(self.mpc.dt * 1e6)
+        return math.lcm(a, b) / 1e6
+
+    @property
     def mann_advance(self) -> int:
-        """Generator steps consumed per MPC tick (merge-point stride) —
-        the reference's mannCallingTime = lcm(gen dT, MPC dT)
-        (CentroidalMPCBlock.cpp:262-265)."""
-        return int(round(self.mpc.dt / self.gen.dt))
+        """Generator steps consumed per generator CALL — the reference's
+        mergePointIndex = mannCallingTime / (slow_down_factor * gen dT)
+        (CentroidalMPCBlock.cpp:265): the next call re-roots the
+        autoregression this many knots into the previous rollout."""
+        adv = int(
+            round(
+                self.mann_calling_time
+                / (self.gen.slow_down_factor * self.gen.dt)
+            )
+        )
+        if adv > self.gen.n_steps:
+            raise ValueError(
+                f"mannCallingTime {self.mann_calling_time} needs a merge "
+                f"point {adv} steps in, beyond the generator horizon "
+                f"({self.gen.n_steps} steps) — lengthen gen.time_horizon"
+            )
+        return adv
+
+    @property
+    def mann_call_every(self) -> int:
+        """MPC ticks between generator calls (mannCallingTime / MPC dT —
+        an exact integer by the lcm construction)."""
+        return int(round(self.mann_calling_time / self.mpc.dt))
 
 
 def ergocub_gazebo_v1(**overrides) -> WalkingConfig:
@@ -232,9 +278,13 @@ def ergocub_gazebo_v1(**overrides) -> WalkingConfig:
 
 def ergocub_sn000(**overrides) -> WalkingConfig:
     """Real-robot preset (config/robots/ergoCubSN000: MPC 10 Hz with a
-    1.3 s horizon and early-terminated SQP, WBC 200 Hz)."""
+    1.3 s horizon, early-terminated SQP, WBC 200 Hz, and the MANN gait
+    slowed 5x in real time — mann.ini:16 slow_down_factor 5, so the
+    generator advances ONE step per MPC tick and the frequency-adapter
+    knots span 5 * 0.8 s = 4 s)."""
     kw = dict(
         mpc=MPCConfig(dt=0.1, horizon=1.3, sqp_iters=2, admm_iters=30),
+        gen=GeneratorConfig(slow_down_factor=5.0),
         wbc_dt=0.005,
     )
     kw.update(overrides)

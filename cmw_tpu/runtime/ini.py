@@ -146,6 +146,7 @@ def load_robot_config(robot_dir: str) -> WalkingConfig:
         dt=float(mann_ini.get("sampling_time", 0.02)),
         time_horizon=float(mann_ini.get("time_horizon", 0.8)),
         past_horizon=float(mann_ini.get("past_projected_base_horizon", 1.0)),
+        slow_down_factor=float(mann_ini.get("slow_down_factor", 1.0)),
         on_threshold=float(lf.get("on_threshold", 0.01)),
         off_threshold=float(lf.get("off_threshold", 0.01)),
         switch_on_after=float(lf.get("switch_on_after", 0.04)),

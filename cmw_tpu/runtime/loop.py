@@ -69,6 +69,24 @@ class DynConfig(NamedTuple):
     joypad_slew: jnp.ndarray  # [] full-scale/s (0 = off)
     td_load_thresh: jnp.ndarray  # [] x body weight: early-touchdown gate
     td_lookahead: jnp.ndarray  # [] s: early contact activation window
+    ang_mom_w: jnp.ndarray  # [] IK angular-momentum task weight (0 = off)
+
+
+class StoredMann(NamedTuple):
+    """The last MANN generator call's output, kept for re-slicing on MPC
+    ticks between calls: the reference advances the generator only every
+    mannCallingTime = lcm(slow_down_factor * gen dT, MPC dT) and re-slices
+    the stored rollout at ABSOLUTE times via its frequency adapters
+    (CentroidalMPCBlock.cpp:477-500,544-577). With the factor-1 sim robots
+    the call happens every MPC tick and this is pass-through state; with
+    ergoCubSN001 (factor 5, 60 ms MPC) calls are 300 ms apart."""
+
+    t0: jnp.ndarray  # [] absolute time of the call
+    com: jnp.ndarray  # [S,3] CoM timeline (raw MANN, world)
+    ang_mom: jnp.ndarray  # [S,3] angular-momentum timeline (raw MANN)
+    joints0: jnp.ndarray  # [nj] first-knot posture (regularization target)
+    yaw0: jnp.ndarray  # [] first-knot base yaw (chest task set-point)
+    plan: C.ContactPlan  # MANN contact phase list (absolute times)
 
 
 class LoopState(NamedTuple):
@@ -100,6 +118,7 @@ class LoopState(NamedTuple):
     hold: jnp.ndarray  # [] 1.0 while the gait clock is paused (gait_hold)
     hold_time: jnp.ndarray  # [] consecutive pause time this swing (s)
     joypad_lp: jnp.ndarray  # [4] slew-limited joystick (cfg.joypad_slew)
+    mann: StoredMann  # last generator call's output (StoredMann docstring)
     dyn: DynConfig  # traced tuning knobs (DynConfig docstring)
 
 
@@ -237,7 +256,8 @@ class WalkingController:
         Pass q0 explicitly (e.g. zeros) to start elsewhere."""
         cfg, model = self.cfg, self.model
         nj = model.nj
-        if q0 is None and base_rot0 is None:
+        used_polished = q0 is None and base_rot0 is None
+        if used_polished:
             q0, base_rot0 = self.polished_initial_pose(dtype)
         q0 = jnp.zeros(nj, dtype) if q0 is None else q0
         base_rot0 = jnp.eye(3, dtype=dtype) if base_rot0 is None else base_rot0
@@ -251,12 +271,17 @@ class WalkingController:
         com0 = kin.com(model, lR, lp)
         # the polish already descended to the operating height (see
         # polished_initial_pose) — the reference is the INITIAL CoM height,
-        # so the legs' regularization pose matches the walking crouch
-        com_z_ref = (
-            cfg.com_height_override
-            if cfg.com_height_override is not None
-            else com0[2]
-        )
+        # so the legs' regularization pose matches the walking crouch.
+        # Explicit q0/base_rot0 starts skip the polish, so the squat
+        # reference must still descend by com_height_drop from wherever
+        # the given pose stands (otherwise e.g. exp_rigid --fromzero would
+        # silently run with zero squat).
+        if cfg.com_height_override is not None:
+            com_z_ref = cfg.com_height_override
+        elif used_polished:
+            com_z_ref = com0[2]
+        else:
+            com_z_ref = com0[2] - cfg.com_height_drop
 
         # initial double-stance plan
         # planned soles are flat on the ground: project the (slightly tilted,
@@ -301,7 +326,7 @@ class WalkingController:
         )
         rb0 = RB.initial_state(
             model, q0, base_rot0, base_pos - jnp.asarray([0.0, 0.0, sink], dtype),
-            cfg=cfg.rigid if cfg.rigid is not None else None,
+            cfg=cfg.rigid if cfg.rigid is not None else RB.RigidBodyConfig(),
         )
         if cfg.rigid is not None:
             n_settle = int(round(cfg.rigid_settle_s / cfg.wbc_dt))
@@ -345,6 +370,18 @@ class WalkingController:
             hold=jnp.zeros((), dtype),
             hold_time=jnp.zeros((), dtype),
             joypad_lp=jnp.zeros(4, dtype).at[2].set(1.0),  # facing forward
+            mann=StoredMann(
+                # t0 = -inf so tick 0 always triggers a generator call
+                # (the reference's first run calls unconditionally,
+                # CentroidalMPCBlock.cpp:477); arrays are placeholders
+                # overwritten by that call before any consumer reads them
+                t0=jnp.asarray(-1e9, dtype),
+                com=jnp.zeros((cfg.gen.n_steps, 3), dtype),
+                ang_mom=jnp.zeros((cfg.gen.n_steps, 3), dtype),
+                joints0=q0,
+                yaw0=jnp.zeros((), dtype),
+                plan=plan,
+            ),
             dyn=DynConfig(
                 gait_hold_window=jnp.asarray(cfg.gait_hold_window, dtype),
                 gait_hold_thresh=jnp.asarray(cfg.gait_hold_thresh, dtype),
@@ -356,6 +393,7 @@ class WalkingController:
                 joypad_slew=jnp.asarray(cfg.joypad_slew, dtype),
                 td_load_thresh=jnp.asarray(cfg.td_load_thresh, dtype),
                 td_lookahead=jnp.asarray(cfg.td_lookahead, dtype),
+                ang_mom_w=jnp.asarray(cfg.ang_mom_task_weight, dtype),
             ),
         )
 
@@ -386,6 +424,7 @@ class WalkingController:
         # plan's stance sole, so the reference pipeline progresses at the
         # plant's realized speed instead of the commanded one
         gen_state = s.gen_state
+        stored = s.mann
         if cfg.rigid is not None and cfg.gen_resync:
             plan0 = C.snap_to_grid(s.plan, mpc.dt)
             idx0, in0 = C.active_phase(plan0, s.t)
@@ -400,19 +439,91 @@ class WalkingController:
                 hist_xy=gen_state.hist_xy + dxy,
                 foot_pose_xy_yaw=gen_state.foot_pose_xy_yaw.at[:, 0:2].add(dxy),
             )
+            # the stored rollout lives in the same virtual world — shift it
+            # too so between-call re-slicing stays consistent
+            stored = stored._replace(
+                com=stored.com.at[:, 0:2].add(dxy),
+                plan=stored.plan._replace(
+                    pos=stored.plan.pos.at[..., 0:2].add(dxy)
+                ),
+            )
 
-        # 2. MANN autoregression over its horizon; re-root at +mpc.dt
-        _, outs, states = G.generate_with_states(
-            cfg.gen, model, self.weights, gen_state, desired
+        # timing tables for the frequency adapters: the input knots are
+        # spaced slow_down_factor * gen.dt apart in REAL time (the
+        # reference scales them the same way, CentroidalMPCBlock.cpp:
+        # 202-211) — at factor 5 the 0.8 s gait horizon covers 4 s
+        slow = cfg.gen.slow_down_factor
+        gen_times = (jnp.arange(cfg.gen.n_steps, dtype=dtype) + 1.0) * (
+            cfg.gen.dt * slow
         )
-        k = cfg.mann_advance - 1
-        gen_next = jax.tree_util.tree_map(lambda a: a[k], states)
-
-        # 3. frequency adapters: 50 Hz outputs -> MPC knots
-        #    (CentroidalMPCBlock.cpp:544-577); clamped beyond 0.8 s
-        gen_times = (jnp.arange(cfg.gen.n_steps, dtype=dtype) + 1.0) * cfg.gen.dt
         knot_times = jnp.arange(mpc.N, dtype=dtype) * mpc.dt
-        com_ref, _ = linear_spline(gen_times, outs.com, knot_times)
+
+        # 2. MANN autoregression — advanced only when mannCallingTime =
+        # lcm(slow_down_factor * gen dT, mpc dT) of gait time has elapsed
+        # since the previous call (CentroidalMPCBlock.cpp:262-265,477-500):
+        # every MPC tick for the factor-1 sim robots and ergoCubSN000,
+        # every 5th tick for ergoCubSN001 (factor 5 at 60 ms). The call
+        # re-roots the autoregression mann_advance (= the reference's
+        # mergePointIndex) knots into the previous rollout and stores the
+        # fresh rollout; between calls step 3 re-slices the stored one.
+        # Gait time pauses under gait-hold, so calls defer naturally.
+        # slack of half a WBC tick: gait time accumulates in f32 (up to
+        # ~1e-5 error over an MPC period at t ~ 10 s), and a call can
+        # never legitimately become due half a WBC tick early
+        call_now = (
+            s.t - stored.t0 >= cfg.mann_calling_time - 0.5 * cfg.wbc_dt
+        ) | (s.tick == 0)
+
+        def _call_gen(args):
+            gen_state, _ = args
+            _, outs, states = G.generate_with_states(
+                cfg.gen, model, self.weights, gen_state, desired
+            )
+            gen_next = jax.tree_util.tree_map(
+                lambda a: a[cfg.mann_advance - 1], states
+            )
+            # MANN contact plan (absolute times). Prepend the generator's
+            # state at the current time so the ongoing stance phase covers
+            # t (otherwise the merged plan would have a one-sample hole).
+            flags = jnp.concatenate(
+                [gen_state.contact[None], outs.contact], axis=0
+            )
+            pose_tl = jnp.concatenate(
+                [gen_state.foot_pose_xy_yaw[None], outs.foot_pose_xy_yaw],
+                axis=0,
+            )
+            tl_times = s.t + jnp.concatenate([jnp.zeros(1, dtype), gen_times])
+            foot_pos = jnp.concatenate(
+                [
+                    pose_tl[..., 0:2],
+                    jnp.zeros(pose_tl.shape[:-1] + (1,), dtype),
+                ],
+                axis=-1,
+            )
+            foot_rot = lie.rotz(pose_tl[..., 2])
+            mann_plan = C.plan_from_timeline(
+                flags, tl_times, foot_pos, foot_rot, P=cfg.plan_phases
+            )
+            return gen_next, StoredMann(
+                t0=s.t,
+                com=outs.com,
+                ang_mom=outs.ang_mom,
+                joints0=outs.joints[0],
+                yaw0=outs.base_xy_yaw[0, 2],
+                plan=mann_plan,
+            )
+
+        gen_next, stored = jax.lax.cond(
+            call_now, _call_gen, lambda args: args, (gen_state, stored)
+        )
+
+        # 3. frequency adapters: stored rollout -> MPC knots at ABSOLUTE
+        # times (CentroidalMPCBlock.cpp:544-577): MPC knot i reads the
+        # stored timeline at (s.t - t0) + i*mpc.dt past the call — offset
+        # 0 on call ticks, sliding forward between calls; clamped beyond
+        # the stored horizon.
+        rel_times = (s.t - stored.t0) + knot_times
+        com_ref, _ = linear_spline(gen_times, stored.com, rel_times)
         com_ref = com_ref.at[:, 2].set(s.com_z_ref)  # z override (:531-534)
         # startup shaping: decay the initial reference mismatch instead of
         # tracking it as a step change (config.ref_ramp_tau docstring). The
@@ -427,28 +538,16 @@ class WalkingController:
             com_ref = com_ref + ref_off[None, :] * kdec[:, None]
         else:
             ref_off = s.ref_off
-        L_ref, _ = linear_spline(gen_times, outs.ang_mom, knot_times)
-        L_ref = L_ref * (cfg.ang_mom_ref_scale / self.mass)  # 1/m (:525-529)
+        L_ref, _ = linear_spline(gen_times, stored.ang_mom, rel_times)
+        # 1/m scaling (:525-529); an additional 1/slow_down_factor because
+        # the same configuration path traversed slow x slower carries
+        # slow x less angular momentum (velocities scale with the time
+        # stretch; at factor 1 this is a no-op)
+        L_ref = L_ref * (cfg.ang_mom_ref_scale / (self.mass * slow))
 
-        # 4. MANN contact plan (absolute times). Prepend the generator's
-        #    state at the current time so the ongoing stance phase covers t
-        #    (otherwise the merged plan would have a one-sample hole at t).
-        flags = jnp.concatenate([gen_state.contact[None], outs.contact], axis=0)
-        pose_tl = jnp.concatenate(
-            [gen_state.foot_pose_xy_yaw[None], outs.foot_pose_xy_yaw], axis=0
-        )
-        tl_times = s.t + jnp.concatenate([jnp.zeros(1, dtype), gen_times])
-        foot_pos = jnp.concatenate(
-            [pose_tl[..., 0:2], jnp.zeros(pose_tl.shape[:-1] + (1,), dtype)],
-            axis=-1,
-        )
-        foot_rot = lie.rotz(pose_tl[..., 2])
-        mann_plan = C.plan_from_timeline(
-            flags, tl_times, foot_pos, foot_rot, P=cfg.plan_phases
-        )
-
-        # 5. merge with previous (adjusted) plan, snap to the MPC grid
-        plan = C.merge_plans(mann_plan, s.plan, s.t)
+        # 5. merge the stored MANN plan with the previous (adjusted) plan,
+        # snap to the MPC grid
+        plan = C.merge_plans(stored.plan, s.plan, s.t)
         plan = C.snap_to_grid(plan, mpc.dt)
 
         # STAND MODE: with a ~zero joystick command the shipped MANN nets
@@ -665,14 +764,14 @@ class WalkingController:
             q_reg=(
                 jnp.where(
                     moving if cfg.stand_mode else True,
-                    jnp.concatenate([s.q_reg[0:12], outs.joints[0][12:26]]),
+                    jnp.concatenate([s.q_reg[0:12], stored.joints0[12:26]]),
                     s.q_reg,
                 )
             ),
             chest_yaw=(
-                jnp.where(moving, outs.base_xy_yaw[0, 2], s.chest_yaw)
+                jnp.where(moving, stored.yaw0, s.chest_yaw)
                 if cfg.stand_mode
-                else outs.base_xy_yaw[0, 2]
+                else stored.yaw0
             ),
             mpc_cost=sol.cost,
             mpc_prim=sol.prim_res,
@@ -682,6 +781,7 @@ class WalkingController:
             hold=hold,
             hold_time=hold_time,
             joypad_lp=joypad,
+            mann=stored,
         )
 
     # -- WBC stage (every tick) -------------------------------------------------
@@ -826,9 +926,12 @@ class WalkingController:
             # on an early-landed foot vaults the robot over it)
             load_w = rbs.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
             fRm2, fpm2 = kin.frame_poses(model, lR, lp)
+            # late-swing classification shares the (traced) gait_hold_window
+            # threshold with the MPC-stage hold logic — a single early/late
+            # split, so tuning the window cannot desynchronize the two
             early_td = (
                 (feet.in_contact < 0.5)
-                & (feet.progress > 0.5)
+                & (feet.progress > s.dyn.gait_hold_window)
                 & (load_w > s.dyn.td_load_thresh)
                 & (s.dyn.td_load_thresh > 0)
             )
@@ -874,10 +977,19 @@ class WalkingController:
         # behavior) leaves base pitch unconstrained, and the pelvis
         # measurably drifts 30+ deg backward over a few steps on the rigid
         # plant while the ZMP stays balanced.
+        # the YAW is always extracted from the "chest" frame — the
+        # reference hardcodes kinDynWithRegularization "chest" for the yaw
+        # (WholeBodyQPBlock.cpp:1221-1222) even when the ik.ini task frame
+        # is something else (iCubGenova09 uses neck_2); the TASK still acts
+        # on cfg.ik.chest_frame (diff_ik). Fall back to the task frame for
+        # models without a "chest" frame.
         rlR, rlp = kin.fk(model, s.q_reg, base_est_R, base_est_p)
         rfR, _ = kin.frame_poses(model, rlR, rlp)
+        yaw_frame = (
+            "chest" if "chest" in model.frame_names else cfg.ik.chest_frame
+        )
         chest_rot_target = lie.rotz(
-            lie.yaw_of(rfR[model.frame_index(cfg.ik.chest_frame)])
+            lie.yaw_of(rfR[model.frame_index(yaw_frame)])
         )
 
         targets = IKTargets(
@@ -891,6 +1003,12 @@ class WalkingController:
             droot_z=dcom_des3[2],
             chest_rot=chest_rot_target,
             q_reg=s.q_reg,
+            # angular-momentum task (config.ang_mom_task_weight): track
+            # the MPC's planned L so braking torque decelerates the CoM
+            # instead of pitching the torso; rigid-gated (the adherent
+            # parity path keeps the reference's exact ik.ini stack)
+            ang_mom=x9[6:9] if cfg.rigid is not None else None,
+            ang_mom_w=s.dyn.ang_mom_w if cfg.rigid is not None else None,
         )
         # THE loop-closing detail of the reference architecture: the IK's
         # kinematic state is the MEASURED base pose (legged odometry) with

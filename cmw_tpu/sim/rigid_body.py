@@ -151,10 +151,14 @@ def initial_state(
     q0,
     base_rot,
     base_pos,
+    cfg: RigidBodyConfig,
     sole_frames: tuple = ("l_sole", "r_sole"),
     corners_local: np.ndarray | None = None,
-    cfg: RigidBodyConfig | None = None,
 ):
+    """Build the plant state. `cfg` is REQUIRED: it is the single source
+    of the dynamic plant parameters (they are frozen into the traced
+    `state.params` here — `dynamics_step` reads them from the state, NOT
+    from the cfg it is called with; see `dynamics_step` docstring)."""
     dt = q0.dtype
     base_rot = jnp.asarray(base_rot, dt)
     base_pos = jnp.asarray(base_pos, dt)
@@ -177,44 +181,11 @@ def initial_state(
         corner_forces=jnp.zeros(pts.shape, dt),
         anchors=pts[..., 0:2],
         servo_int=jnp.zeros((model.nj,), dt),
-        params=dyn_params(cfg if cfg is not None else RigidBodyConfig(), dt),
+        params=dyn_params(cfg, dt),
     )
 
 
 # -- inertia ------------------------------------------------------------------
-
-
-def _link_com_jacobians(model: kin.RobotModel, link_R, link_p):
-    """Per-link CoM linear + angular Jacobians, mixed representation.
-
-    Returns (c_world [nl,3], Jv [nl,3,6+nj], Jw [nl,3,6+nj])."""
-    dt = link_R.dtype
-    nj, nl = model.nj, model.nj + 1
-    anc = jnp.asarray(kin._ancestor_matrix(model), dt)  # [nl, nj]
-    c_local = jnp.asarray(model.link_com, dt)
-    c_world = link_p + jnp.einsum("lij,lj->li", link_R, c_local)  # [nl,3]
-    axis_w, pivot = kin.joint_world_axes(model, link_R, link_p)
-
-    eye3 = jnp.eye(3, dtype=dt)
-    # angular: [0 | I | anc * axis]
-    Jw_q = anc[:, None, :] * jnp.swapaxes(axis_w, 0, 1)[None]  # [nl,3,nj]
-    Jw = jnp.concatenate(
-        [jnp.zeros((nl, 3, 3), dt), jnp.broadcast_to(eye3, (nl, 3, 3)), Jw_q],
-        axis=-1,
-    )
-    # linear: [I | -hat(c_l - p_base) | anc * axis x (c_l - pivot)]
-    arms = c_world[:, None, :] - pivot[None, :, :]  # [nl,nj,3]
-    cols = jnp.cross(axis_w[None, :, :], arms)  # [nl,nj,3]
-    Jv_q = anc[:, None, :] * jnp.swapaxes(cols, 1, 2)  # [nl,3,nj]
-    Jv = jnp.concatenate(
-        [
-            jnp.broadcast_to(eye3, (nl, 3, 3)),
-            -lie.hat(c_world - link_p[0]),
-            Jv_q,
-        ],
-        axis=-1,
-    )
-    return c_world, Jv, Jw
 
 
 def mass_matrix(model: kin.RobotModel, link_R, link_p, armature: float = 0.0):
@@ -222,7 +193,7 @@ def mass_matrix(model: kin.RobotModel, link_R, link_p, armature: float = 0.0):
     Jacobians — O(nl n^2) dense einsums, MXU-friendly)."""
     dt = link_R.dtype
     m = jnp.asarray(model.link_mass, dt)
-    _, Jv, Jw = _link_com_jacobians(model, link_R, link_p)
+    _, Jv, Jw = kin.link_com_jacobians(model, link_R, link_p)
     I_w = jnp.einsum(
         "lab,lbc,ldc->lad", link_R, jnp.asarray(model.link_inertia, dt), link_R
     )
@@ -304,52 +275,6 @@ def corner_points_jacobians(
     return pts, J_pts
 
 
-def corner_contact_forces(
-    cfg: RigidBodyConfig,
-    model,
-    link_R,
-    link_p,
-    nu,
-    anchors,  # [nc, ncor, 2]
-    sole_frames: tuple,
-    corners_local: np.ndarray,  # [nc, ncor, 3] in sole frame
-):
-    """Penalty ground contact at the foot corners with anchor-spring
-    (static) friction: tangential force = -ks (xy - anchor) - kd v_t,
-    capped at mu * fz; on saturation the anchor slides so the spring alone
-    would reproduce the capped force (standard regularized stick-slip).
-
-    Returns (forces [nc,ncor,3] world N, J_pts [nc,ncor,3,6+nj],
-    new anchors)."""
-    dt = link_R.dtype
-    pts, J_pts = corner_points_jacobians(model, link_R, link_p, sole_frames, corners_local)
-
-    v_pts = jnp.einsum("ncxk,k->ncx", J_pts, nu)
-    pen = jnp.maximum(-pts[..., 2], 0.0)  # penetration depth
-    active = (pen > 0.0).astype(dt)
-    fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v_pts[..., 2], 0.0) * active
-
-    xy = pts[..., 0:2]
-    # fresh contacts anchor at the touch-down point; reset per FOOT, not
-    # per corner (see dynamics_step — per-corner resets ratchet a rolling
-    # stance foot sideways)
-    foot_down = (active.max(axis=1) > 0)[:, None, None]
-    anchors = jnp.where(foot_down, anchors, xy)
-    ft_raw = (-cfg.contact_ks * (xy - anchors) - cfg.contact_kt * v_pts[..., 0:2]) * active[..., None]
-    ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
-    cap = cfg.contact_mu * fz[..., None]
-    scale = jnp.minimum(1.0, cap / jnp.maximum(ft_norm, 1e-9))
-    ft = ft_raw * scale
-    # sliding: move the anchor so the spring term alone yields ft
-    anchors_new = jnp.where(
-        (active[..., None] > 0) & (scale < 1.0),
-        xy + ft / cfg.contact_ks,
-        jnp.where(active[..., None] > 0, anchors, xy),
-    )
-    forces = jnp.concatenate([ft, fz[..., None]], axis=-1)
-    return forces, J_pts, anchors_new
-
-
 # -- step ---------------------------------------------------------------------
 
 
@@ -363,7 +288,15 @@ def dynamics_step(
     corners_local: np.ndarray | None = None,
     ext_force_base: jnp.ndarray | None = None,  # world N, applied at base origin
 ):
-    """One control-tick step = cfg.substeps semi-implicit Euler substeps."""
+    """One control-tick step = cfg.substeps semi-implicit Euler substeps.
+
+    Parameter contract (explicit, to avoid a two-sources-of-truth trap):
+    only the STATIC, shape/structure-affecting fields of `cfg` are read
+    here — `substeps` and `armature`. Every dynamic plant parameter
+    (contact stiffness/friction, servo gains, torque limit, damping) comes
+    from `state.params` (RigidDynParams), frozen in from the cfg passed to
+    `initial_state` and overridable per-experiment without recompiling via
+    `state._replace(params=state.params._replace(...))`."""
     nj = model.nj
     dtp = state.q.dtype
     if corners_local is None:

@@ -72,6 +72,15 @@ class IKTargets(NamedTuple):
     droot_z: jnp.ndarray  # []
     chest_rot: jnp.ndarray  # [3, 3]
     q_reg: jnp.ndarray  # [26]
+    # OPTIONAL angular-momentum task (BLF ships IK::AngularMomentumTask;
+    # the reference's ik.ini never enables it — turned on for the rigid
+    # plant, config.ang_mom_task_weight). ang_mom is the desired
+    # mass-normalized centroidal angular momentum (the MPC's planned L,
+    # runtime/loop x9[6:9]); ang_mom_w a TRACED soft weight per axis
+    # applied on top of it (0 disables at runtime). None skips the task
+    # rows entirely (static — the adherent hot path pays nothing).
+    ang_mom: jnp.ndarray | None = None
+    ang_mom_w: jnp.ndarray | None = None
 
 
 def solve_ik(
@@ -128,6 +137,20 @@ def solve_ik(
     Js = jnp.concatenate([Jchest, Jpost], axis=0)
     es = jnp.concatenate([e_chest, e_post])
     W = jnp.concatenate([w_chest, w_post])
+
+    if targets.ang_mom is not None:
+        # angular-momentum velocity-level task: (A_ang / m) nu = L_des
+        # (mass-normalized; the MPC plans L/m). Coordinates torso/arm
+        # rotation with the planned momentum so braking forces decelerate
+        # the CoM instead of disappearing into base pitch.
+        A_h = kin.centroidal_momentum_matrix(model, lR, lp)
+        J_L = A_h[3:6] / model.total_mass
+        w_L = jnp.broadcast_to(
+            jnp.asarray(targets.ang_mom_w, dt), (3,)
+        )
+        Js = jnp.concatenate([Js, J_L], axis=0)
+        es = jnp.concatenate([es, targets.ang_mom])
+        W = jnp.concatenate([W, w_L])
 
     H = (Js * W[:, None]).T @ Js + cfg.damping * jnp.eye(nv, dtype=dt)
     g = (Js * W[:, None]).T @ es

@@ -66,6 +66,39 @@ def test_reference_values_verbatim():
     assert cfg2.mpc.dt == 0.1 and cfg2.mpc.horizon == 1.3
 
 
+def test_slow_down_factor_consumed():
+    """mann.ini:16 slow_down_factor must reach the gait timing, not be
+    dropped: mannCallingTime = lcm(factor * gen dt, MPC dt) with merge
+    point mannCallingTime/(factor * gen dt)
+    (CentroidalMPCBlock.cpp:193-211,262-265)."""
+    sim = load_robot_config(os.path.join(REF, "ergoCubGazeboV1"))
+    assert sim.gen.slow_down_factor == 1.0
+    assert abs(sim.mann_calling_time - 0.06) < 1e-9  # lcm(20, 60) ms
+    assert sim.mann_advance == 3 and sim.mann_call_every == 1
+
+    for robot in ("ergoCubSN000", "ergoCubGazeboV1_1"):
+        cfg = load_robot_config(os.path.join(REF, robot))
+        assert cfg.gen.slow_down_factor == 5.0, robot
+        # lcm(5*20 ms, 100 ms) = 100 ms: one generator step per MPC tick
+        assert abs(cfg.mann_calling_time - 0.1) < 1e-9, robot
+        assert cfg.mann_advance == 1 and cfg.mann_call_every == 1, robot
+
+    # SN001 is the general case: lcm(100 ms, 60 ms) = 300 ms — the
+    # generator runs every 5th MPC tick, re-rooting 3 knots in; between
+    # calls the stored rollout is re-sliced at absolute times
+    sn001 = load_robot_config(os.path.join(REF, "ergoCubSN001"))
+    assert sn001.gen.slow_down_factor == 5.0
+    assert abs(sn001.mann_calling_time - 0.3) < 1e-9
+    assert sn001.mann_advance == 3 and sn001.mann_call_every == 5
+
+    # the preset advertised by `walk --robot ergoCubSN000` agrees
+    from cmw_tpu.runtime.config import ergocub_sn000
+
+    preset = ergocub_sn000()
+    assert preset.gen.slow_down_factor == 5.0
+    assert preset.mann_advance == 1 and preset.mann_call_every == 1
+
+
 def test_ik_odometry_values_verbatim():
     """Per-robot ik.ini / legged_odometry.ini are consumed, not hardcoded
     (reference WholeBodyQPBlock.cpp:131-175 + config/robots/*/ik.ini).

@@ -55,6 +55,39 @@ def test_closed_loop_walk_forward(ctl):
     assert np.abs(np.diff(fc[:, 1])).sum() >= 2
 
 
+def test_closed_loop_sn000_slowdown(ctl):
+    """The ergoCubSN000 preset (MPC 10 Hz, WBC 200 Hz, slow_down_factor 5)
+    walks end-to-end with the 5x-stretched gait timing: the generator
+    advances ONE step per MPC tick, contact phases last ~5x the gait-time
+    duration, and the realized speed is ~1/5 of the factor-1 gait."""
+    from cmw_tpu.runtime.config import ergocub_sn000
+
+    cfg = ergocub_sn000()
+    assert cfg.mann_advance == 1 and cfg.mpc_every == 20
+    ctl5 = WalkingController(cfg, ctl.model, ctl.weights)
+    S = 1200  # 6.0 s at wbc_dt = 5 ms
+    sN, tel = ctl5.run_episode_blocked(
+        ctl5.initial_state(), constant_inputs(S, (1.0, 0.0, 1.0, 0.0))
+    )
+    com = np.asarray(tel.com_mpc)
+    assert np.isfinite(com).all()
+    fc = np.asarray(tel.foot_contact)
+    assert fc.sum(1).min() >= 1.0
+    # both feet step, but at the slowed cadence: single-support phases
+    # last ~0.5 s gait-time * 5 = ~2.5 s real time, so in 6 s we expect
+    # only ~1-3 lift/land events per foot (a factor-1 gait would show ~10)
+    edges = np.abs(np.diff(fc, axis=0)).sum()
+    assert 2 <= edges <= 8, f"cadence wrong under slow_down_factor: {edges} edges"
+    # forward progress at the slowed cadence: stride length is gait
+    # geometry (unchanged), only the step period stretches 5x, so the
+    # speed is ~stride/period ~ 0.1 m/s (measured 0.59 m in 6 s) vs the
+    # factor-1 gait's ~0.3+ m/s
+    adv = com[-1, 0] - com[0, 0]
+    assert 0.05 < adv < 0.9, adv
+    # MPC stays feasible through the stretched-phase solves
+    assert float(np.asarray(tel.mpc_prim).max()) < 5e-2
+
+
 def test_closed_loop_push_recovery(ctl):
     """Lateral push pulse: bounded response + step adjustment reacts."""
     S = 900
