@@ -183,3 +183,49 @@ def test_model_mass_and_com_height():
     for f in ("l_sole", "r_sole"):
         up = np.asarray(fR[m.frame_index(f)])[2, 2]
         assert up > np.cos(np.radians(1.5)), (f, up)
+
+
+def test_centroidal_momentum_matrix_matches_momentum():
+    """A_h @ nu must equal centroidal_momentum(nu) for any nu — the IK
+    angular-momentum task (wbc/diff_ik.py) consumes the matrix form."""
+    m = K.ergocub_approx()
+    q0, rot = K.walk_ready_pose()
+    q = jnp.asarray(q0, jnp.float32)
+    lR, lp = K.fk(m, q, jnp.asarray(rot, jnp.float32), jnp.zeros(3))
+    rng = np.random.default_rng(3)
+    nu = jnp.asarray(rng.normal(size=6 + m.nj), jnp.float32)
+    A_h = K.centroidal_momentum_matrix(m, lR, lp)
+    h_mat = np.asarray(A_h @ nu)
+    h_ref = np.asarray(K.centroidal_momentum(m, lR, lp, nu))
+    np.testing.assert_allclose(h_mat, h_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_parse_urdf_ergocub_model():
+    """The checked-in ergoCub URDF loads through the full parse_urdf
+    reduction (26 revolute joints + welded feet/head/hands/battery merged
+    by parallel-axis transport) and reproduces the calibrated geometry:
+    flat soles in the walk-ready crouch, CoM height in the squat band,
+    ergoCub-class total mass (VERDICT r3 item 3; provenance in
+    tools/gen_ergocub_urdf.py — the authoritative icub-models file is
+    unobtainable offline, so this is the documented stand-in)."""
+    m = K.ergocub_urdf()
+    assert m.nj == 26
+    assert tuple(m.joint_names) == K.ERGOCUB_JOINTS
+    assert 52.0 <= m.total_mass <= 60.0, m.total_mass
+    for f in ("root_link", "l_sole", "r_sole", "chest", "head"):
+        assert f in m.frame_names
+    q0, rot = K.walk_ready_pose()
+    q = jnp.asarray(q0, jnp.float32)
+    lR, lp = K.fk(m, q, jnp.asarray(rot, jnp.float32), jnp.zeros(3))
+    fR, fp = K.frame_poses(m, lR, lp)
+    for f in ("l_sole", "r_sole"):
+        up = np.asarray(fR[m.frame_index(f)])[2, 2]
+        assert up > np.cos(np.radians(1.5)), (f, up)
+    com = K.com(m, lR, lp)
+    sole_z = 0.5 * (fp[m.frame_index("l_sole"), 2] + fp[m.frame_index("r_sole"), 2])
+    assert 0.70 <= float(com[2] - sole_z) <= 0.80
+    # the inertial distribution genuinely differs from the box-guess model
+    # (this pair is the model-error A/B for the rigid-plant experiments)
+    a = K.ergocub_approx()
+    assert abs(a.total_mass - m.total_mass) > 0.5
+    assert not np.allclose(a.link_inertia[0], m.link_inertia[0], rtol=0.2)
