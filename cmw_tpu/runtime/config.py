@@ -211,6 +211,15 @@ class WalkingConfig:
     # rotation tracks the MPC's planned angular momentum. Traced
     # (DynConfig.ang_mom_w) — sweep without recompiling.
     ang_mom_task_weight: float = 0.0
+    # CAPTURE-POINT SPEED GOVERNOR (rigid plant only; 1/m gain, 0
+    # disables; traced as DynConfig.cp_gov). Scales the commanded joystick
+    # motion down proportionally to how far the measured capture point
+    # runs beyond the forward reach of the current support + upcoming
+    # landing (+capture_margin_x): forward momentum is shed by slowing the
+    # commanded gait BEFORE the stance ZMP saturates at the toe — the
+    # round-3 step-4 vault mechanism (RESULTS.md §5c). The reference has
+    # no equivalent (a human thumb on FakeJoypad is the speed governor).
+    cp_gov: float = 0.0
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

@@ -70,6 +70,7 @@ class DynConfig(NamedTuple):
     td_load_thresh: jnp.ndarray  # [] x body weight: early-touchdown gate
     td_lookahead: jnp.ndarray  # [] s: early contact activation window
     ang_mom_w: jnp.ndarray  # [] IK angular-momentum task weight (0 = off)
+    cp_gov: jnp.ndarray  # [] capture-point speed-governor gain (1/m, 0 = off)
 
 
 class StoredMann(NamedTuple):
@@ -394,6 +395,7 @@ class WalkingController:
                 td_load_thresh=jnp.asarray(cfg.td_load_thresh, dtype),
                 td_lookahead=jnp.asarray(cfg.td_lookahead, dtype),
                 ang_mom_w=jnp.asarray(cfg.ang_mom_task_weight, dtype),
+                cp_gov=jnp.asarray(cfg.cp_gov, dtype),
             ),
         )
 
@@ -413,6 +415,122 @@ class WalkingController:
         )
         motion = jnp.where(s.dyn.joypad_slew > 0, motion, inp.joypad[0:2])
         joypad = jnp.concatenate([motion, inp.joypad[2:4]])
+        # the slew state and stand-mode `moving` key off the slewed,
+        # PRE-governor command: the governor scales the command
+        # instantaneously without corrupting the slew filter or
+        # flickering the controller into stand mode
+        joypad_pre_gov = joypad
+        moving = jnp.linalg.norm(joypad[0:2]) > cfg.stand_threshold
+
+        # 0b. rigid-plant measurements + GAIT-HOLD decision + CAPTURE
+        # GOVERNOR (moved ahead of the input builder so the governor can
+        # shape the command this same tick). See config.gait_hold_window /
+        # config.cp_gov docstrings.
+        hold = jnp.zeros((), dtype)
+        hold_time = s.hold_time
+        if cfg.rigid is not None:
+            prev_plan = C.snap_to_grid(s.plan, mpc.dt)
+            feet_prev = swing_foot.evaluate(prev_plan, s.t, cfg.swing)
+            load = s.rb.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
+            # measured kinematics in the CURRENT estimate frame (anchored
+            # on the previous plan's fixed foot): sole poses for the
+            # landing reconciliation, estimated centroidal state for the
+            # capture gate (x9 lags the estimate by the feedback time
+            # constant — gating on it released into unrecoverable states)
+            ff_r = fixed_foot.detect(prev_plan, s.t, cfg.odom.initial_fixed_index)
+            odo_r = legged_odom.OdometryState(ff_r.index, ff_r.rot, ff_r.pos)
+            if cfg.perfect_state:
+                bR, bp = s.rb.base_rot, s.rb.base_pos
+            else:
+                bR, bp = legged_odom.base_pose_fused(
+                    model, odo_r, s.rb.q, s.rb.base_rot
+                )
+            lRr, lpr = kin.fk(model, s.rb.q, bR, bp)
+            fRr, fpr = kin.frame_poses(model, lRr, lpr)
+            li = model.frame_index("l_sole")
+            ri = model.frame_index("r_sole")
+            meas_pos = jnp.stack([fpr[li], fpr[ri]]).at[:, 2].set(0.0)
+            meas_rot = lie.rotz(
+                jnp.stack([lie.yaw_of(fRr[li]), lie.yaw_of(fRr[ri])])
+            )
+            com_r = kin.com(model, lRr, lpr)
+            if cfg.perfect_state:
+                nu_r = s.rb.nu[0:6]
+            else:
+                nu_r = legged_odom.base_twist(
+                    model, odo_r, s.rb.q, s.rb.nu[6:], bR, bp
+                )
+            h_r = kin.centroidal_momentum(
+                model, lRr, lpr, jnp.concatenate([nu_r, s.rb.nu[6:]])
+            )
+            dcom_r = h_r[0:3] / self.mass
+            # pause BEFORE lift-off, while the foot is still ACTIVE in the
+            # plan: the MPC keeps two-foot force authority, so its schedule
+            # can push off the lagging foot to finish the transfer (the
+            # ZMP must pass RIGHT of the CoM to accelerate it left and
+            # vice versa). Pausing after deactivation instead pins the
+            # MPC's ZMP to the stance foot mid-transfer — an inverted
+            # pendulum accelerating AWAY from it, which measurably loads
+            # the swing foot harder until the robot falls (trace 2026-08-21:
+            # hold_frac 0.55, fall at 0.99 s).
+            idxp, in_cp = C.active_phase(prev_plan, s.t)
+            _, deact_p, pos_cp, _, _ = C.gather_phase(prev_plan, idxp)
+            about_to_lift = (in_cp > 0.5) & (deact_p <= s.t + mpc.dt + 1e-6)
+            early_swing = (feet_prev.in_contact < 0.5) & (
+                feet_prev.progress < s.dyn.gait_hold_window
+            )
+            # capture condition: lifting foot i is only safe if the
+            # instantaneous capture point (LIPM: com + dcom*sqrt(z/g))
+            # lies in the hull of the OTHER foot's current stance and
+            # foot i's upcoming landing, expanded by a margin — releasing
+            # on load alone lifts into an unrecoverable lateral state
+            # (measured: release at load 0.24 with the capture point
+            # 0.2 m outside the stance foot, fall within 0.4 s)
+            cp_xy = com_r[0:2] + dcom_r[0:2] * jnp.sqrt(
+                jnp.maximum(com_r[2], 0.3) / 9.80665
+            )
+            idxn, has_n = C.next_phase(prev_plan, s.t)
+            _, _, pos_n, _, _ = C.gather_phase(prev_plan, idxn)
+            land_xy = jnp.where(has_n[:, None] > 0, pos_n[:, 0:2], pos_cp[:, 0:2])
+            stance_xy = pos_cp[::-1, 0:2]  # the OTHER foot's stance pose
+            margin = jnp.stack([s.dyn.capture_margin_x, s.dyn.capture_margin_y])
+            lo = jnp.minimum(stance_xy, land_xy) - margin
+            hi = jnp.maximum(stance_xy, land_xy) + margin
+            capture_ok = jnp.all((cp_xy >= lo) & (cp_xy <= hi), axis=-1)
+            lagging = (about_to_lift | early_swing) & (
+                (load > s.dyn.gait_hold_thresh) | ~capture_ok
+            )
+            # never pause while some foot is in LATE swing: freezing the
+            # clock then freezes that foot's descent mid-air (measured:
+            # a 0.2 s hover at apex while the base drifts away) — let it
+            # land first; the next double support is where holds help
+            late_swing = (feet_prev.in_contact < 0.5) & (
+                feet_prev.progress >= s.dyn.gait_hold_window
+            )
+            want = (
+                jnp.any(lagging)
+                & ~jnp.any(late_swing)
+                & (s.dyn.gait_hold_window > 0)
+            )
+            hold = (want & (s.hold_time < s.dyn.gait_hold_max_s)).astype(dtype)
+            hold_time = jnp.where(want, s.hold_time + mpc.dt, 0.0)
+
+            # CAPTURE GOVERNOR (config.cp_gov docstring): scale the
+            # commanded motion down when the measured capture point runs
+            # ahead of what the current support + bounded step adjustment
+            # can cover — forward momentum is shed by slowing the
+            # commanded gait BEFORE the stance ZMP saturates at the toe.
+            # Gain is traced (DynConfig.cp_gov, 1/m; 0 disables).
+            sup_w = (load > 0.05).astype(dtype)
+            toe_x = jnp.max(
+                jnp.where(sup_w > 0, pos_cp[:, 0] + 0.08, -1e9)
+            )
+            land_x = jnp.max(jnp.where(has_n > 0.5, pos_n[:, 0] + 0.08, toe_x))
+            reach_x = jnp.maximum(toe_x, land_x) + s.dyn.capture_margin_x
+            overshoot = jnp.maximum(cp_xy[0] - reach_x, 0.0)
+            gov = jnp.clip(1.0 - s.dyn.cp_gov * overshoot, 0.0, 1.0)
+            gov = jnp.where(s.dyn.cp_gov > 0, gov, 1.0)
+            joypad = jnp.concatenate([joypad[0:2] * gov, joypad[2:4]])
 
         # 1. joystick -> desired base trajectory
         desired = build_desired_trajectory(
@@ -558,7 +676,6 @@ class WalkingController:
         # freeze the autoregression and hold the references at the stance
         # centroid instead. The MPC still solves every tick, so push
         # recovery (incl. step adjustment out of stand) stays active.
-        moving = jnp.linalg.norm(joypad[0:2]) > cfg.stand_threshold
         if cfg.stand_mode:
             sel = lambda a, b: jnp.where(moving, a, b)
             gen_next = jax.tree_util.tree_map(sel, gen_next, gen_state)
@@ -574,101 +691,11 @@ class WalkingController:
             com_ref = sel(com_ref, jnp.broadcast_to(com_hold, com_ref.shape))
             L_ref = sel(L_ref, jnp.zeros_like(L_ref))
 
-        # GAIT-HOLD (config.gait_hold_window docstring): if the plan says a
-        # foot is in early swing while the physical plant still loads it,
-        # pause the gait clock for this period — freeze the generator state
-        # and the plan (so the swing, the landing, and the MPC's force
-        # schedule all retime together), but keep SOLVING from the current
-        # integrated state so the weight transfer completes. Physical load
-        # comes from the rigid plant's own contact forces.
-        hold = jnp.zeros((), dtype)
-        hold_time = s.hold_time
+        # GAIT-HOLD freeze (decision + measurements computed in step 0b):
+        # while the clock is paused, the generator state and the plan stay
+        # at their previous values so swing, landing, and the MPC's force
+        # schedule all retime together.
         if cfg.rigid is not None:
-            prev_plan = C.snap_to_grid(s.plan, mpc.dt)
-            feet_prev = swing_foot.evaluate(prev_plan, s.t, cfg.swing)
-            load = s.rb.corner_forces[..., 2].sum(-1) / (self.mass * 9.80665)
-            # measured kinematics in the CURRENT estimate frame (anchored
-            # on the previous plan's fixed foot): sole poses for the
-            # landing reconciliation, estimated centroidal state for the
-            # capture gate (x9 lags the estimate by the feedback time
-            # constant — gating on it released into unrecoverable states)
-            ff_r = fixed_foot.detect(prev_plan, s.t, cfg.odom.initial_fixed_index)
-            odo_r = legged_odom.OdometryState(ff_r.index, ff_r.rot, ff_r.pos)
-            if cfg.perfect_state:
-                bR, bp = s.rb.base_rot, s.rb.base_pos
-            else:
-                bR, bp = legged_odom.base_pose_fused(
-                    model, odo_r, s.rb.q, s.rb.base_rot
-                )
-            lRr, lpr = kin.fk(model, s.rb.q, bR, bp)
-            fRr, fpr = kin.frame_poses(model, lRr, lpr)
-            li = model.frame_index("l_sole")
-            ri = model.frame_index("r_sole")
-            meas_pos = jnp.stack([fpr[li], fpr[ri]]).at[:, 2].set(0.0)
-            meas_rot = lie.rotz(
-                jnp.stack([lie.yaw_of(fRr[li]), lie.yaw_of(fRr[ri])])
-            )
-            com_r = kin.com(model, lRr, lpr)
-            if cfg.perfect_state:
-                nu_r = s.rb.nu[0:6]
-            else:
-                nu_r = legged_odom.base_twist(
-                    model, odo_r, s.rb.q, s.rb.nu[6:], bR, bp
-                )
-            h_r = kin.centroidal_momentum(
-                model, lRr, lpr, jnp.concatenate([nu_r, s.rb.nu[6:]])
-            )
-            dcom_r = h_r[0:3] / self.mass
-            # pause BEFORE lift-off, while the foot is still ACTIVE in the
-            # plan: the MPC keeps two-foot force authority, so its schedule
-            # can push off the lagging foot to finish the transfer (the
-            # ZMP must pass RIGHT of the CoM to accelerate it left and
-            # vice versa). Pausing after deactivation instead pins the
-            # MPC's ZMP to the stance foot mid-transfer — an inverted
-            # pendulum accelerating AWAY from it, which measurably loads
-            # the swing foot harder until the robot falls (trace 2026-08-21:
-            # hold_frac 0.55, fall at 0.99 s).
-            idxp, in_cp = C.active_phase(prev_plan, s.t)
-            _, deact_p, pos_cp, _, _ = C.gather_phase(prev_plan, idxp)
-            about_to_lift = (in_cp > 0.5) & (deact_p <= s.t + mpc.dt + 1e-6)
-            early_swing = (feet_prev.in_contact < 0.5) & (
-                feet_prev.progress < s.dyn.gait_hold_window
-            )
-            # capture condition: lifting foot i is only safe if the
-            # instantaneous capture point (LIPM: com + dcom*sqrt(z/g))
-            # lies in the hull of the OTHER foot's current stance and
-            # foot i's upcoming landing, expanded by a margin — releasing
-            # on load alone lifts into an unrecoverable lateral state
-            # (measured: release at load 0.24 with the capture point
-            # 0.2 m outside the stance foot, fall within 0.4 s)
-            cp_xy = com_r[0:2] + dcom_r[0:2] * jnp.sqrt(
-                jnp.maximum(com_r[2], 0.3) / 9.80665
-            )
-            idxn, has_n = C.next_phase(prev_plan, s.t)
-            _, _, pos_n, _, _ = C.gather_phase(prev_plan, idxn)
-            land_xy = jnp.where(has_n[:, None] > 0, pos_n[:, 0:2], pos_cp[:, 0:2])
-            stance_xy = pos_cp[::-1, 0:2]  # the OTHER foot's stance pose
-            margin = jnp.stack([s.dyn.capture_margin_x, s.dyn.capture_margin_y])
-            lo = jnp.minimum(stance_xy, land_xy) - margin
-            hi = jnp.maximum(stance_xy, land_xy) + margin
-            capture_ok = jnp.all((cp_xy >= lo) & (cp_xy <= hi), axis=-1)
-            lagging = (about_to_lift | early_swing) & (
-                (load > s.dyn.gait_hold_thresh) | ~capture_ok
-            )
-            # never pause while some foot is in LATE swing: freezing the
-            # clock then freezes that foot's descent mid-air (measured:
-            # a 0.2 s hover at apex while the base drifts away) — let it
-            # land first; the next double support is where holds help
-            late_swing = (feet_prev.in_contact < 0.5) & (
-                feet_prev.progress >= s.dyn.gait_hold_window
-            )
-            want = (
-                jnp.any(lagging)
-                & ~jnp.any(late_swing)
-                & (s.dyn.gait_hold_window > 0)
-            )
-            hold = (want & (s.hold_time < s.dyn.gait_hold_max_s)).astype(dtype)
-            hold_time = jnp.where(want, s.hold_time + mpc.dt, 0.0)
             selh = lambda frozen, live: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(hold > 0, a, b), frozen, live
             )
@@ -780,7 +807,7 @@ class WalkingController:
             ang_mom_mann=L_ref[0],
             hold=hold,
             hold_time=hold_time,
-            joypad_lp=joypad,
+            joypad_lp=joypad_pre_gov,
             mann=stored,
         )
 
