@@ -125,6 +125,12 @@ class WalkingConfig:
     # integrator forgives divergence with time constant 1/g while keeping
     # the adherent smoothness the reference architecture wants.
     state_fb_gain: float = 3.0
+    # separate feedback rate for the ANGULAR-MOMENTUM channels of x9
+    # (traced, DynConfig.state_fb_l). At 0 the integrator's L stays purely
+    # planned — the clean target for the IK angular-momentum task
+    # (ang_mom_task_weight); equal to state_fb_gain reproduces the round-3
+    # uniform blend.
+    state_fb_l: float = 3.0
     # Anti-windup band for the CoM LTI integrator (rigid plant only; m).
     # The reference integrates the stabilizer-corrected CoM velocity
     # open-loop into the IK's CoM target (WholeBodyQPBlock.cpp:634-646,
@@ -220,6 +226,19 @@ class WalkingConfig:
     # round-3 step-4 vault mechanism (RESULTS.md §5c). The reference has
     # no equivalent (a human thumb on FakeJoypad is the speed governor).
     cp_gov: float = 0.0
+    # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
+    # DynConfig.odom_blend). The reference re-pins the fixed sole at its
+    # PLANNED pose on every fixed-frame switch (changeFixedFrame,
+    # WholeBodyQPBlock.cpp:300-320) — with our plant's cm-scale landing
+    # errors that teleports the whole estimate frame by the error at each
+    # switch (RESULTS.md §5c). The anchor is now persistent LoopState: on
+    # a switch it takes the new sole's measured pose in the current
+    # estimate frame (continuity — no teleport), then every WBC tick it
+    # pulls toward the plan's (reconciled) pose by this fraction:
+    # 1.0 reproduces the reference's instant plan anchor; small values
+    # spread the correction over ~wbc_dt/alpha seconds; 0 = pure
+    # dead-reckoning (z/roll/pitch stay absolute via flattening + IMU).
+    odom_blend: float = 1.0
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of

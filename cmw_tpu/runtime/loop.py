@@ -64,13 +64,20 @@ class DynConfig(NamedTuple):
     gait_hold_max_s: jnp.ndarray  # [] s
     capture_margin_x: jnp.ndarray  # [] m
     capture_margin_y: jnp.ndarray  # [] m
-    state_fb_gain: jnp.ndarray  # [] 1/s
+    state_fb_gain: jnp.ndarray  # [] 1/s (com xy + vcom xy channels)
+    state_fb_l: jnp.ndarray  # [] 1/s, angular-momentum channels only: 0
+    #   keeps x9's L purely PLANNED (the clean target for the IK
+    #   angular-momentum task); >0 blends measured L in (round-3 behavior
+    #   when equal to state_fb_gain)
     com_int_band: jnp.ndarray  # [] m
     joypad_slew: jnp.ndarray  # [] full-scale/s (0 = off)
     td_load_thresh: jnp.ndarray  # [] x body weight: early-touchdown gate
     td_lookahead: jnp.ndarray  # [] s: early contact activation window
     ang_mom_w: jnp.ndarray  # [] IK angular-momentum task weight (0 = off)
     cp_gov: jnp.ndarray  # [] capture-point speed-governor gain (1/m, 0 = off)
+    odom_blend: jnp.ndarray  # [] per-tick anchor pull toward the plan pose
+    #   (1 = instant, the reference's plan-anchored changeFixedFrame; <1 =
+    #   complementary filter spreading landing error over ~wbc_dt/alpha)
 
 
 class StoredMann(NamedTuple):
@@ -120,6 +127,7 @@ class LoopState(NamedTuple):
     hold_time: jnp.ndarray  # [] consecutive pause time this swing (s)
     joypad_lp: jnp.ndarray  # [4] slew-limited joystick (cfg.joypad_slew)
     mann: StoredMann  # last generator call's output (StoredMann docstring)
+    odo: legged_odom.OdometryState  # persistent odometry anchor (rigid path)
     dyn: DynConfig  # traced tuning knobs (DynConfig docstring)
 
 
@@ -341,6 +349,9 @@ class WalkingController:
             eR, ep = legged_odom.base_pose(model, odo0, rb0.q)
             mlR, mlp = kin.fk(model, rb0.q, eR, ep)
             com0 = kin.com(model, mlR, mlp)
+        else:
+            ff0 = fixed_foot.detect(plan, jnp.zeros((), dtype), cfg.odom.initial_fixed_index)
+            odo0 = legged_odom.OdometryState(ff0.index, ff0.rot, ff0.pos)
 
         return LoopState(
             t=jnp.zeros((), dtype),
@@ -383,6 +394,7 @@ class WalkingController:
                 yaw0=jnp.zeros((), dtype),
                 plan=plan,
             ),
+            odo=odo0,
             dyn=DynConfig(
                 gait_hold_window=jnp.asarray(cfg.gait_hold_window, dtype),
                 gait_hold_thresh=jnp.asarray(cfg.gait_hold_thresh, dtype),
@@ -390,12 +402,14 @@ class WalkingController:
                 capture_margin_x=jnp.asarray(cfg.capture_margin_x, dtype),
                 capture_margin_y=jnp.asarray(cfg.capture_margin_y, dtype),
                 state_fb_gain=jnp.asarray(cfg.state_fb_gain, dtype),
+                state_fb_l=jnp.asarray(cfg.state_fb_l, dtype),
                 com_int_band=jnp.asarray(cfg.com_int_band, dtype),
                 joypad_slew=jnp.asarray(cfg.joypad_slew, dtype),
                 td_load_thresh=jnp.asarray(cfg.td_load_thresh, dtype),
                 td_lookahead=jnp.asarray(cfg.td_lookahead, dtype),
                 ang_mom_w=jnp.asarray(cfg.ang_mom_task_weight, dtype),
                 cp_gov=jnp.asarray(cfg.cp_gov, dtype),
+                odom_blend=jnp.asarray(cfg.odom_blend, dtype),
             ),
         )
 
@@ -437,8 +451,9 @@ class WalkingController:
             # landing reconciliation, estimated centroidal state for the
             # capture gate (x9 lags the estimate by the feedback time
             # constant — gating on it released into unrecoverable states)
-            ff_r = fixed_foot.detect(prev_plan, s.t, cfg.odom.initial_fixed_index)
-            odo_r = legged_odom.OdometryState(ff_r.index, ff_r.rot, ff_r.pos)
+            # the persistent anchor (updated at the last WBC tick) — the
+            # same estimate frame the WBC stage uses
+            odo_r = s.odo
             if cfg.perfect_state:
                 bR, bp = s.rb.base_rot, s.rb.base_pos
             else:
@@ -843,7 +858,42 @@ class WalkingController:
         # base IMU — kinematic-only odometry cannot observe the robot
         # rocking on a foot edge (legged_odom.base_pose_fused docstring)
         ff = fixed_foot.detect(s.plan, s.t, cfg.odom.initial_fixed_index)
-        odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
+        if cfg.rigid is not None:
+            # persistent odometry anchor + complementary plan pull
+            # (config.odom_blend docstring): on a fixed-frame switch the
+            # new sole is pinned at its MEASURED pose in the current
+            # estimate frame (continuity — the base estimate cannot jump),
+            # flattened to the ground prior (z=0, yaw-only); every tick
+            # the anchor then pulls toward the plan's reconciled pose by
+            # the traced fraction. odom_blend=1 reproduces the
+            # reference's instant plan anchoring (changeFixedFrame,
+            # WholeBodyQPBlock.cpp:300-320).
+            switched = ff.index != s.odo.fixed_index
+            bR0, bp0 = legged_odom.base_pose_fused(
+                model, s.odo, q_meas, rbs.base_rot
+            )
+            lR0, lp0 = kin.fk(model, q_meas, bR0, bp0)
+            fR0, fp0 = kin.frame_poses(model, lR0, lp0)
+            li0 = model.frame_index("l_sole")
+            ri0 = model.frame_index("r_sole")
+            new_p = jnp.where(ff.index == 0, fp0[li0], fp0[ri0]).at[2].set(0.0)
+            new_yaw = jnp.where(
+                ff.index == 0, lie.yaw_of(fR0[li0]), lie.yaw_of(fR0[ri0])
+            )
+            cont_pos = jnp.where(switched, new_p, s.odo.fixed_pos)
+            cont_yaw = jnp.where(
+                switched, new_yaw, lie.yaw_of(s.odo.fixed_rot)
+            )
+            a = s.dyn.odom_blend
+            dyaw = lie.yaw_of(ff.rot) - cont_yaw
+            dyaw = jnp.arctan2(jnp.sin(dyaw), jnp.cos(dyaw))
+            odo = legged_odom.OdometryState(
+                ff.index,
+                lie.rotz(cont_yaw + a * dyaw),
+                cont_pos + a * (ff.pos - cont_pos),
+            )
+        else:
+            odo = legged_odom.OdometryState(ff.index, ff.rot, ff.pos)
         if cfg.rigid is not None and cfg.perfect_state:
             base_est_R, base_est_p = rbs.base_rot, rbs.base_pos
         elif cfg.rigid is not None:
@@ -892,10 +942,12 @@ class WalkingController:
             # collapse (measured: base z 0.74 -> 0.36 in 0.5 s with the
             # base perfectly level). Height must track the plan stiffly;
             # only the horizontal channels (and L) follow reality.
-            fb_mask = jnp.asarray(
-                [1.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0, 1.0], x9.dtype
+            g, gl = s.dyn.state_fb_gain, s.dyn.state_fb_l
+            zero = jnp.zeros_like(g)
+            fb_rate = jnp.stack(
+                [g, g, zero, g, g, zero, gl, gl, gl]
             )
-            x9 = x9 + (dt * s.dyn.state_fb_gain) * fb_mask * (meas9 - x9)
+            x9 = x9 + dt * fb_rate * (meas9 - x9)
             com_des3, dcom_des3 = x9[0:3], x9[3:6]
         # measured ZMP from the wrench sensors (evaluateZMP, :737-803)
         if cfg.rigid is not None:
@@ -1064,6 +1116,7 @@ class WalkingController:
             q=q,
             plant=ps,
             rb=rbs,
+            odo=odo,
         )
         stage_now = C.mpc_stage_params(s.plan, s.t, 1, cfg.mpc.dt, cfg.mpc.n_slots)
         tel = Telemetry(
