@@ -120,6 +120,13 @@ class MPCConfig:
     # per-solve optimality at the feasibility boundary is not the metric.
     kkt_dtype: str = "f32"
     kkt_f32_tail: int = 0
+    # ADMM x-update read path: "dense" = full [n, n] minv GEMV (XLA
+    # multiply-reduce, measured at ~90% of HBM bandwidth — the roofline);
+    # "symv" = ops/symv.py Pallas kernel reading only the PACKED lower
+    # triangle of the symmetric inverse (nb(nb+1)/2 / nb^2 = 10/16 of the
+    # traffic at n=512), packed once per solve. f32-only (composes with
+    # kkt_dtype="f32").
+    xupdate_impl: str = "dense"
     # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
     # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
     # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a

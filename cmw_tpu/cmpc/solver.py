@@ -151,12 +151,23 @@ class CentroidalMPCSolver:
         grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
 
         inv = _inverse_fn(cfg)
+        use_symv = cfg.xupdate_impl == "symv" and cfg.kkt_dtype == "f32"
+        if use_symv:
+            from cmw_tpu.ops.symv import pack_symmetric
+
+            def pack(m):
+                npad = -(-m.shape[-1] // 128) * 128
+                pad = npad - m.shape[-1]
+                mp = jnp.pad(m, ((0, pad), (0, pad)))
+                return pack_symmetric(mp[None])[0]
+
         if not cfg.refactor_every_sqp:
             # quasi-Newton: one factorization per solve; later iterations
             # reuse H0 with exact gradients (one reverse-mode pass each),
             # keeping the fixed point correct
             _, H0 = gauss_newton(z0)
             minv0 = inv(H0 + cfg.admm_sigma * eye + ata)
+            packed0 = pack(minv0) if use_symv else None
 
         alphas = jnp.asarray(cfg.line_search_alphas, dtype)
 
@@ -167,7 +178,7 @@ class CentroidalMPCSolver:
             A_dense = F.constraint_dense(cfg, stage, dtype)
             interp = jax.default_backend() not in ("tpu",)
 
-            def run_admm(minv, q, z, zc, y):
+            def run_admm(minv, q, z, zc, y, packed=None):
                 x, zcn, yn = admm_fused_pallas(
                     minv[None], A_dense[None], q[None], l[None], u[None],
                     rho[None], z[None], zc[None], y[None],
@@ -185,7 +196,7 @@ class CentroidalMPCSolver:
             tail = min(cfg.kkt_f32_tail, cfg.admm_iters) if kd == "bf16" else 0
             head = cfg.admm_iters - tail
 
-            def run_admm(minv, q, z, zc, y):
+            def run_admm(minv, q, z, zc, y, packed=None):
                 state = ADMMState(z, zc, y)
                 if head > 0 and kd == "bf16":
                     state, _ = admm_solve(
@@ -198,6 +209,7 @@ class CentroidalMPCSolver:
                     iters=cfg.admm_iters if kd != "bf16" else tail,
                     sigma=cfg.admm_sigma,
                     alpha=cfg.admm_alpha,
+                    minv_packed=packed,
                 )
 
         def sqp_iter(carry, _):
@@ -205,11 +217,13 @@ class CentroidalMPCSolver:
             if cfg.refactor_every_sqp:
                 g, H = gauss_newton(z)
                 minv = inv(H + cfg.admm_sigma * eye + ata)
+                packed = pack(minv) if use_symv else None
             else:
                 g, H = grad_fn(z), H0
                 minv = minv0
+                packed = packed0 if use_symv else None
             q = g - H @ z
-            state, prim = run_admm(minv, q, z, zc, y)
+            state, prim = run_admm(minv, q, z, zc, y, packed)
             # globalization: scale the step by the merit-minimizing alpha
             # (alpha 0 = keep z; guarantees monotone merit inside a solve).
             # The residual is EXACTLY quadratic in z (com/vel are linear in

@@ -119,3 +119,51 @@ def test_solver_fused_admm_matches_xla_path():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got.positions),
                                np.asarray(ref.positions), rtol=1e-4, atol=1e-4)
+
+
+def test_symv_packed_matches_dense():
+    """Packed lower-triangle symmetric product (the ADMM x-update traffic
+    optimization, MPCConfig.xupdate_impl='symv') == dense M @ v."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cmw_tpu.ops.symv import pack_symmetric, symv_packed
+
+    rng = np.random.default_rng(7)
+    B, n = 2, 256
+    A = rng.normal(size=(B, n, n)).astype(np.float32)
+    M = jnp.asarray(A @ np.swapaxes(A, 1, 2) / n)
+    v = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    out = symv_packed(pack_symmetric(M), v, interpret=True)
+    ref = jnp.einsum("bij,bj->bi", M, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-4)
+
+
+def test_solver_symv_xupdate_matches_dense():
+    """Full solve with xupdate_impl='symv' lands on the dense path's
+    solution (same ADMM math, less HBM traffic)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    from cmw_tpu.cmpc import CentroidalMPCSolver, ergocub_mpc_config
+    from cmw_tpu.cmpc import formulation as F
+    from cmw_tpu.core import contacts
+    from cmw_tpu.core.centroidal import pack_state
+
+    cfg = ergocub_mpc_config(horizon=0.6)
+    plan = contacts.snap_to_grid(contacts.make_alternating_gait(n_steps=8), cfg.dt)
+    stage = contacts.mpc_stage_params(plan, 1.02, cfg.T, cfg.dt, cfg.n_slots)
+    params = F.MPCParams(
+        x0=pack_state(jnp.asarray([0.0, 0.0, 0.7]), jnp.zeros(3), jnp.zeros(3)),
+        com_ref=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.7]), (cfg.N, 3)),
+        ang_mom_ref=jnp.zeros((cfg.N, 3)),
+        stage=stage,
+        ext_force=jnp.zeros(3),
+        ext_torque=jnp.zeros(3),
+    )
+    sA = CentroidalMPCSolver(cfg)
+    sB = CentroidalMPCSolver(dataclasses.replace(cfg, xupdate_impl="symv"))
+    a = sA.solve(params, sA.cold_start())
+    b = sB.solve(params, sB.cold_start())
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * (abs(float(a.cost)) + 1)
+    np.testing.assert_allclose(np.asarray(a.z), np.asarray(b.z), atol=1e-4)
