@@ -226,6 +226,20 @@ class WalkingConfig:
     # round-3 step-4 vault mechanism (RESULTS.md §5c). The reference has
     # no equivalent (a human thumb on FakeJoypad is the speed governor).
     cp_gov: float = 0.0
+    # CoM-LAG SPEED GOVERNOR (rigid plant only; 1/m gain, 0 disables;
+    # traced as DynConfig.lag_gov with dead-band lag_band in m). The
+    # round-4 vault trace (RESULTS.md §5d): the plan marches at commanded
+    # speed while the plant walks slower, so the measured CoM falls ever
+    # further behind the loaded stance feet; once the CoM is ~10+ cm
+    # behind the support, demanding forward acceleration is geometrically
+    # infeasible (required ZMP behind the heel) and the stance ankle pumps
+    # BACKWARD pitch until the robot topples. The governor scales the
+    # commanded motion by 1 - gain*max(0, lag - band), where lag is the
+    # support-centroid lead over the CoM along the motion direction —
+    # the command slows until the plant catches up (a human driver does
+    # exactly this by ear; the reference has no equivalent).
+    lag_gov: float = 0.0
+    lag_band: float = 0.10
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

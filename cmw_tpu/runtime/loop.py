@@ -75,6 +75,8 @@ class DynConfig(NamedTuple):
     td_lookahead: jnp.ndarray  # [] s: early contact activation window
     ang_mom_w: jnp.ndarray  # [] IK angular-momentum task weight (0 = off)
     cp_gov: jnp.ndarray  # [] capture-point speed-governor gain (1/m, 0 = off)
+    lag_gov: jnp.ndarray  # [] CoM-lag speed-governor gain (1/m, 0 = off)
+    lag_band: jnp.ndarray  # [] m of free CoM-behind-stance lag before it acts
     odom_blend: jnp.ndarray  # [] per-tick anchor pull toward the plan pose
     #   (1 = instant, the reference's plan-anchored changeFixedFrame; <1 =
     #   complementary filter spreading landing error over ~wbc_dt/alpha)
@@ -409,6 +411,8 @@ class WalkingController:
                 td_lookahead=jnp.asarray(cfg.td_lookahead, dtype),
                 ang_mom_w=jnp.asarray(cfg.ang_mom_task_weight, dtype),
                 cp_gov=jnp.asarray(cfg.cp_gov, dtype),
+                lag_gov=jnp.asarray(cfg.lag_gov, dtype),
+                lag_band=jnp.asarray(cfg.lag_band, dtype),
                 odom_blend=jnp.asarray(cfg.odom_blend, dtype),
             ),
         )
@@ -545,7 +549,34 @@ class WalkingController:
             overshoot = jnp.maximum(cp_xy[0] - reach_x, 0.0)
             gov = jnp.clip(1.0 - s.dyn.cp_gov * overshoot, 0.0, 1.0)
             gov = jnp.where(s.dyn.cp_gov > 0, gov, 1.0)
-            joypad = jnp.concatenate([joypad[0:2] * gov, joypad[2:4]])
+
+            # CoM-LAG GOVERNOR (config.lag_gov docstring): the round-4
+            # vault trace shows the measured CoM falling ever further
+            # BEHIND the stance feet (plan marches at commanded speed, the
+            # plant slower) until forward acceleration becomes
+            # geometrically infeasible (the required ZMP moves behind the
+            # heel) and the stance ankle pumps backward pitch instead.
+            # Slow the command in proportion to how far the CoM lags the
+            # loaded support along the motion direction.
+            yaw_b = lie.yaw_of(bR)
+            mnorm = jnp.linalg.norm(joypad[0:2])
+            mdir_b = joypad[0:2] / jnp.maximum(mnorm, 1e-6)
+            cy, sy = jnp.cos(yaw_b), jnp.sin(yaw_b)
+            mdir_w = jnp.stack(
+                [cy * mdir_b[0] - sy * mdir_b[1], sy * mdir_b[0] + cy * mdir_b[1]]
+            )
+            sup_w2 = (load > 0.05).astype(dtype)
+            sup_c = (sup_w2[:, None] * pos_cp[:, 0:2]).sum(0) / jnp.maximum(
+                sup_w2.sum(), 1.0
+            )
+            lag = jnp.dot(sup_c - com_r[0:2], mdir_w)
+            gov2 = jnp.clip(
+                1.0 - s.dyn.lag_gov * jnp.maximum(lag - s.dyn.lag_band, 0.0),
+                0.0,
+                1.0,
+            )
+            gov2 = jnp.where((s.dyn.lag_gov > 0) & (mnorm > 1e-3), gov2, 1.0)
+            joypad = jnp.concatenate([joypad[0:2] * (gov * gov2), joypad[2:4]])
 
         # 1. joystick -> desired base trajectory
         desired = build_desired_trajectory(
