@@ -78,14 +78,12 @@ def main(argv=None):
     else:
         cfg = ergocub_gazebo_v1() if args.robot == "ergoCubGazeboV1" else ergocub_sn000()
     if args.urdf:
-        from cmw_tpu.core.kinematics import ERGOCUB_JOINTS, parse_urdf
+        from cmw_tpu.core.kinematics import ergocub_urdf
 
-        model = parse_urdf(
-            args.urdf,
-            "root_link",
-            list(ERGOCUB_JOINTS),
-            {"l_sole": "l_sole", "r_sole": "r_sole", "chest": "chest", "root_link": "root_link"},
-        )
+        # "builtin" loads the checked-in cmw_tpu/models/ergocub.urdf; any
+        # other value is a path to an ergoCub-convention URDF (sole/chest
+        # frame links per tools/gen_ergocub_urdf.py)
+        model = ergocub_urdf(None if args.urdf == "builtin" else args.urdf)
     else:
         model = kin.ergocub_approx()
     ctl = WalkingController(cfg, model, load_mann_weights(args.mann))
