@@ -88,6 +88,37 @@ def test_closed_loop_sn000_slowdown(ctl):
     assert float(np.asarray(tel.mpc_prim).max()) < 5e-2
 
 
+def test_closed_loop_sn001_lcm_schedule(ctl):
+    """ergoCubSN001's timing is the GENERAL mannCallingTime case:
+    factor 5 at a 60 ms MPC period -> lcm = 300 ms, so the generator runs
+    every 5th MPC tick and the stored rollout is re-sliced at absolute
+    times in between (CentroidalMPCBlock.cpp:262-265,477-500). The loop
+    must stay finite, in contact, and produce a continuous CoM reference
+    across the between-call re-slices."""
+    import dataclasses
+
+    from cmw_tpu.mann.generator import GeneratorConfig
+
+    cfg = dataclasses.replace(
+        ergocub_gazebo_v1(), gen=GeneratorConfig(slow_down_factor=5.0)
+    )
+    assert cfg.mann_call_every == 5 and cfg.mann_advance == 3
+    ctl5 = WalkingController(cfg, ctl.model, ctl.weights)
+    S = 1500  # 3 s at 2 ms
+    sN, tel = ctl5.run_episode_blocked(
+        ctl5.initial_state(), constant_inputs(S, (1.0, 0.0, 1.0, 0.0))
+    )
+    com = np.asarray(tel.com_mpc)
+    assert np.isfinite(com).all()
+    fc = np.asarray(tel.foot_contact)
+    assert fc.sum(1).min() >= 1.0
+    assert float(np.asarray(tel.mpc_prim).max()) < 5e-2
+    # the CoM reference re-sliced from the stored rollout stays continuous
+    # (a broken absolute-time offset shows up as 60 ms-period sawteeth)
+    cm = np.asarray(tel.com_mann)
+    assert np.abs(np.diff(cm, axis=0)).max() < 0.05, np.abs(np.diff(cm, axis=0)).max()
+
+
 def test_closed_loop_push_recovery(ctl):
     """Lateral push pulse: bounded response + step adjustment reacts."""
     S = 900
