@@ -240,6 +240,20 @@ class WalkingConfig:
     # exactly this by ear; the reference has no equivalent).
     lag_gov: float = 0.0
     lag_band: float = 0.10
+    cp_gov_margin: float = 0.05  # cp_gov's stance-toe reach margin (m)
+    # GAIT-RUSH (rigid plant only; the mirror of gait-hold; traced as
+    # DynConfig.rush_gain/rush_margin, 0 disables). Round-4 trace
+    # (RESULTS.md §5d): during steps 1-2 the measured capture point
+    # escapes up to 0.17 m past the stance toe while the swing foot is
+    # still mid-air on the gait-time schedule — the robot is falling
+    # forward faster than the gait expects, and the late landing arrives
+    # as a 1,590 N crash that springs the backward trap. When the capture
+    # point is past the stance toe (+rush_margin) and a foot is in swing,
+    # the gait clock runs FASTER by rush_gain per meter of overshoot
+    # (capped at 3x), bringing the landing down early to catch the fall —
+    # the discrete analog of a human shortening a stumbling step.
+    rush_gain: float = 0.0
+    rush_margin: float = 0.02
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

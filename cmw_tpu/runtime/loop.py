@@ -77,6 +77,11 @@ class DynConfig(NamedTuple):
     cp_gov: jnp.ndarray  # [] capture-point speed-governor gain (1/m, 0 = off)
     lag_gov: jnp.ndarray  # [] CoM-lag speed-governor gain (1/m, 0 = off)
     lag_band: jnp.ndarray  # [] m of free CoM-behind-stance lag before it acts
+    cp_margin: jnp.ndarray  # [] m: cp_gov's stance-toe reach margin
+    rush_gain: jnp.ndarray  # [] 1/m: gait-RUSH clock acceleration per meter
+    #   of capture-point escape past the stance toe while a foot swings
+    #   (the mirror of gait-hold: land early to arrest a forward fall)
+    rush_margin: jnp.ndarray  # [] m of free capture overshoot before rushing
     odom_blend: jnp.ndarray  # [] per-tick anchor pull toward the plan pose
     #   (1 = instant, the reference's plan-anchored changeFixedFrame; <1 =
     #   complementary filter spreading landing error over ~wbc_dt/alpha)
@@ -167,6 +172,7 @@ class Telemetry(NamedTuple):
     com_mann: jnp.ndarray  # [3] MANN CoM reference @ current knot
     ang_mom_mann: jnp.ndarray  # [3] MANN ang-mom reference
     gait_hold: jnp.ndarray  # [] 1.0 while the gait clock is paused
+    gait_rush: jnp.ndarray  # [] clock acceleration factor (0 = nominal)
     base_act_pos: jnp.ndarray  # [3] physical base position (rigid plant)
     base_act_up: jnp.ndarray  # [] cos(base tilt) = R_act[2,2] (rigid plant)
     base_act_lean: jnp.ndarray  # [2] world-z of base x/y axes (pitch/roll)
@@ -413,6 +419,9 @@ class WalkingController:
                 cp_gov=jnp.asarray(cfg.cp_gov, dtype),
                 lag_gov=jnp.asarray(cfg.lag_gov, dtype),
                 lag_band=jnp.asarray(cfg.lag_band, dtype),
+                cp_margin=jnp.asarray(cfg.cp_gov_margin, dtype),
+                rush_gain=jnp.asarray(cfg.rush_gain, dtype),
+                rush_margin=jnp.asarray(cfg.rush_margin, dtype),
                 odom_blend=jnp.asarray(cfg.odom_blend, dtype),
             ),
         )
@@ -540,12 +549,16 @@ class WalkingController:
             # can cover — forward momentum is shed by slowing the
             # commanded gait BEFORE the stance ZMP saturates at the toe.
             # Gain is traced (DynConfig.cp_gov, 1/m; 0 disables).
+            # reach is STANCE-ONLY (+ its own cp_margin): counting the
+            # upcoming landing made the governor blind to the measured
+            # overspeed window (the capture point legitimately travels
+            # toward the landing only if the swing foot actually gets
+            # there in time — that is the gait-rush's job below)
             sup_w = (load > 0.05).astype(dtype)
             toe_x = jnp.max(
                 jnp.where(sup_w > 0, pos_cp[:, 0] + 0.08, -1e9)
             )
-            land_x = jnp.max(jnp.where(has_n > 0.5, pos_n[:, 0] + 0.08, toe_x))
-            reach_x = jnp.maximum(toe_x, land_x) + s.dyn.capture_margin_x
+            reach_x = toe_x + s.dyn.cp_margin
             overshoot = jnp.maximum(cp_xy[0] - reach_x, 0.0)
             gov = jnp.clip(1.0 - s.dyn.cp_gov * overshoot, 0.0, 1.0)
             gov = jnp.where(s.dyn.cp_gov > 0, gov, 1.0)
@@ -1077,6 +1090,32 @@ class WalkingController:
                 ang_vel=gate * feet.ang_vel,
             )
 
+        # GAIT-RUSH (config.rush_gain docstring): when the measured
+        # capture point escapes past the stance toe (+margin) along the
+        # direction of travel while a foot is in swing, run the gait
+        # clock FASTER (up to 3x) so the landing comes down early and
+        # arrests the forward fall — the mirror of gait-hold.
+        rush = jnp.zeros((), s.x9.dtype)
+        if cfg.rigid is not None:
+            dcom2 = meas9[3:5]
+            sp = jnp.linalg.norm(dcom2)
+            dirv = dcom2 / jnp.maximum(sp, 1e-6)
+            cp2 = com_meas[0:2] + dcom2 * jnp.sqrt(
+                jnp.maximum(com_meas[2], 0.3) / 9.80665
+            )
+            along = feet.pos[:, 0:2] @ dirv
+            toe = jnp.max(
+                jnp.where(feet.in_contact > 0.5, along + 0.08, -1e9)
+            )
+            over = jnp.dot(cp2, dirv) - (toe + s.dyn.rush_margin)
+            any_swing = jnp.any(feet.in_contact < 0.5)
+            rush = jnp.clip(
+                s.dyn.rush_gain * jnp.maximum(over, 0.0), 0.0, 2.0
+            )
+            rush = jnp.where(
+                any_swing & (s.dyn.rush_gain > 0) & (sp > 0.05), rush, 0.0
+            )
+
         # chest set-point: WORLD-UPRIGHT at the regularization config's yaw
         # — the reference takes ONLY the yaw of the kinDynWithRegularization
         # chest rotation and targets Rz(yaw) ("to better stabilize the
@@ -1138,7 +1177,7 @@ class WalkingController:
         s2 = s._replace(
             # gait-hold: the clock pauses while s.hold is set — real time
             # (the plant, the integrators) marches on; gait time does not
-            t=s.t + dt * (1.0 - s.hold),
+            t=s.t + dt * (1.0 - s.hold) * (1.0 + rush),
             tick=s.tick + 1,
             x9=x9,
             com_xy_int=com_xy_int,
@@ -1175,6 +1214,7 @@ class WalkingController:
             com_mann=s.com_mann,
             ang_mom_mann=s.ang_mom_mann,
             gait_hold=s.hold,
+            gait_rush=rush,
             base_act_pos=rbs.base_pos if cfg.rigid is not None else base_pos,
             base_act_up=(
                 rbs.base_rot[2, 2] if cfg.rigid is not None else base_rot[2, 2]

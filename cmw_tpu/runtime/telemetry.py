@@ -39,6 +39,7 @@ SCHEMA = {
     "com_mann": "MANN CoM reference at the current MPC knot [m]",
     "ang_mom_mann": "MANN angular-momentum reference (mass-normalized)",
     "gait_hold": "1.0 while the gait clock is paused (gait-hold retiming)",
+    "gait_rush": "gait-clock acceleration factor (gait-rush; 0 = nominal)",
     "base_act_pos": "physical base position (rigid plant) [m]",
     "base_act_up": "cos(base tilt) = R_act[2,2] (rigid plant)",
     "base_act_lean": "world-z of base x/y axes (pitch/roll proxies)",
