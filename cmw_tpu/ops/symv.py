@@ -8,7 +8,10 @@ roofline). The inverse is SYMMETRIC, so only the lower triangle carries
 information: packing its 128x128 blocks once per solve and reading only
 those per iteration cuts the per-iteration traffic to nb(nb+1)/2 / nb^2
 (= 10/16 at n=512), which is the only way left to beat the roofline at
-f32 precision.
+f32 precision. Measured on v5e (batch 512, 2x24 iterations): 6,018
+solves/s vs 5,884 dense (+2.3% end-to-end — the (8,128) MXU row padding
+and per-cell grid overhead absorb most of the traffic saving; kept
+opt-in via MPCConfig.xupdate_impl).
 
     out = M v,  M = sum over lower blocks (i,j):
       out_i += v_j @ B_ij^T          (the block itself)
