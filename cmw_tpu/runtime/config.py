@@ -254,6 +254,20 @@ class WalkingConfig:
     # the discrete analog of a human shortening a stumbling step.
     rush_gain: float = 0.0
     rush_margin: float = 0.02
+    # CAPTURE STEP EXTENSION (rigid plant only; traced as
+    # DynConfig.step_ext_max/step_ext_margin; max=0 disables). Companion
+    # to gait-rush: an early landing that still arrives BEHIND the
+    # capture point adds forward impulse every step — measured runaway to
+    # 1.2 m/s upright until the legs fold (RESULTS.md §5d). When the
+    # measured capture point is beyond a swing foot's upcoming landing
+    # along the travel direction, that landing is moved forward to the
+    # capture point + step_ext_margin (clamped to step_ext_max) — the
+    # classic capture-point step. Goes beyond the reference MPC's ±1 cm
+    # bounding box (centroidal_mpc.ini:30-31) by design: the box presumes
+    # a plant that tracks the plan; landing reconciliation snaps the plan
+    # back to the realized pose afterwards.
+    step_ext_max: float = 0.0
+    step_ext_margin: float = 0.03
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

@@ -82,6 +82,9 @@ class DynConfig(NamedTuple):
     #   of capture-point escape past the stance toe while a foot swings
     #   (the mirror of gait-hold: land early to arrest a forward fall)
     rush_margin: jnp.ndarray  # [] m of free capture overshoot before rushing
+    step_ext_max: jnp.ndarray  # [] m: max capture-step landing extension (0=off)
+    step_ext_margin: jnp.ndarray  # [] m the landing leads the capture point by
+    #   (landing AHEAD of the capture point decelerates; behind accelerates)
     odom_blend: jnp.ndarray  # [] per-tick anchor pull toward the plan pose
     #   (1 = instant, the reference's plan-anchored changeFixedFrame; <1 =
     #   complementary filter spreading landing error over ~wbc_dt/alpha)
@@ -422,6 +425,8 @@ class WalkingController:
                 cp_margin=jnp.asarray(cfg.cp_gov_margin, dtype),
                 rush_gain=jnp.asarray(cfg.rush_gain, dtype),
                 rush_margin=jnp.asarray(cfg.rush_margin, dtype),
+                step_ext_max=jnp.asarray(cfg.step_ext_max, dtype),
+                step_ext_margin=jnp.asarray(cfg.step_ext_margin, dtype),
                 odom_blend=jnp.asarray(cfg.odom_blend, dtype),
             ),
         )
@@ -808,6 +813,43 @@ class WalkingController:
             onehot_n = jnp.arange(plan.num_phases)[None, :] == idxn_e[:, None]
             plan = plan._replace(
                 act=jnp.where(early_act[:, None] & onehot_n, s.t, plan.act)
+            )
+
+        if cfg.rigid is not None:
+            # CAPTURE STEP EXTENSION (config.step_ext_max docstring): move
+            # a swing foot's upcoming landing forward to the measured
+            # capture point + margin when the capture point has escaped
+            # past it — landings ahead of the capture point decelerate;
+            # behind, every step pumps the measured 1.2 m/s runaway.
+            idxn_s, has_ns = C.next_phase(plan, s.t)
+            _, _, pos_ns, _, _ = C.gather_phase(plan, idxn_s)
+            mv = jnp.linalg.norm(dcom_r[0:2])
+            dirx = dcom_r[0:2] / jnp.maximum(mv, 1e-6)
+            _, in_cs = C.active_phase(plan, s.t)
+            lead = jnp.einsum(
+                "x,ix->i", dirx, cp_xy[None, :] - pos_ns[:, 0:2]
+            )
+            ext = jnp.clip(
+                lead + s.dyn.step_ext_margin, 0.0, s.dyn.step_ext_max
+            )
+            do_ext = (
+                (in_cs < 0.5)  # the foot is currently swinging
+                & (has_ns > 0.5)
+                & (lead > 0.0)
+                & (s.dyn.step_ext_max > 0)
+                & (mv > 0.1)
+            )
+            new_xy = pos_ns[:, 0:2] + dirx[None, :] * ext[:, None]
+            onehot_s = jnp.arange(plan.num_phases)[None, :] == idxn_s[:, None]
+            sel_s = (do_ext[:, None] & onehot_s)[..., None]
+            plan = plan._replace(
+                pos=jnp.where(
+                    sel_s,
+                    jnp.concatenate(
+                        [new_xy, jnp.zeros_like(new_xy[:, :1])], axis=-1
+                    )[:, None, :],
+                    plan.pos,
+                )
             )
 
         # 6. solve the MPC from the integrated state (adherent loop)

@@ -147,8 +147,9 @@ def main():
             f"max_tilt={tilt.max():5.1f} hold={hold[i, :fell_i].mean() if fell_i else 0:.2f}"
         )
     if args.save:
-        np.savez(args.save, up=up, bp=bp, fc=fc,
-                 settings=np.array([str(d) for d in settings]))
+        chans = {f: np.asarray(getattr(tel, f)) for f in tel._fields}
+        np.savez(args.save, settings=np.array([str(d) for d in settings]),
+                 **chans)
 
 
 if __name__ == "__main__":
