@@ -225,7 +225,7 @@ class WalkingConfig:
     # commanded gait BEFORE the stance ZMP saturates at the toe — the
     # round-3 step-4 vault mechanism (RESULTS.md §5c). The reference has
     # no equivalent (a human thumb on FakeJoypad is the speed governor).
-    cp_gov: float = 0.0
+    cp_gov: float = 2.0
     # CoM-LAG SPEED GOVERNOR (rigid plant only; 1/m gain, 0 disables;
     # traced as DynConfig.lag_gov with dead-band lag_band in m). The
     # round-4 vault trace (RESULTS.md §5d): the plan marches at commanded
@@ -240,7 +240,7 @@ class WalkingConfig:
     # exactly this by ear; the reference has no equivalent).
     lag_gov: float = 0.0
     lag_band: float = 0.10
-    cp_gov_margin: float = 0.05  # cp_gov's stance-toe reach margin (m)
+    cp_gov_margin: float = 0.10  # cp_gov's stance-toe reach margin (m)
     # GAIT-RUSH (rigid plant only; the mirror of gait-hold; traced as
     # DynConfig.rush_gain/rush_margin, 0 disables). Round-4 trace
     # (RESULTS.md §5d): during steps 1-2 the measured capture point
@@ -252,8 +252,8 @@ class WalkingConfig:
     # the gait clock runs FASTER by rush_gain per meter of overshoot
     # (capped at 3x), bringing the landing down early to catch the fall —
     # the discrete analog of a human shortening a stumbling step.
-    rush_gain: float = 0.0
-    rush_margin: float = 0.02
+    rush_gain: float = 5.0
+    rush_margin: float = 0.03
     # CAPTURE STEP EXTENSION (rigid plant only; traced as
     # DynConfig.step_ext_max/step_ext_margin; max=0 disables). Companion
     # to gait-rush: an early landing that still arrives BEHIND the
@@ -266,8 +266,8 @@ class WalkingConfig:
     # bounding box (centroidal_mpc.ini:30-31) by design: the box presumes
     # a plant that tracks the plan; landing reconciliation snaps the plan
     # back to the realized pose afterwards.
-    step_ext_max: float = 0.0
-    step_ext_margin: float = 0.03
+    step_ext_max: float = 0.20
+    step_ext_margin: float = 0.06
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,
