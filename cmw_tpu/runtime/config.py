@@ -280,7 +280,11 @@ class WalkingConfig:
     # 1.0 reproduces the reference's instant plan anchor; small values
     # spread the correction over ~wbc_dt/alpha seconds; 0 = pure
     # dead-reckoning (z/roll/pitch stay absolute via flattening + IMU).
-    odom_blend: float = 1.0
+    # Measured (exp_grid, vx=0.8 operating point, real odometry): blend
+    # 0.25 survives 4.47 s / 8 steps vs 1.99 s / 2 steps at the
+    # reference's instant anchoring — within 0.35 s of the
+    # perfect-state ceiling (4.81 s).
+    odom_blend: float = 0.25
     # scale on the MANN angular-momentum reference fed to the MPC (1.0 =
     # the reference's behavior, CentroidalMPCBlock.cpp:525-529; 0.0 tracks
     # zero angular momentum instead — useful because our reconstruction of
