@@ -113,6 +113,13 @@ def main(argv=None):
             from cmw_tpu.sim.rigid_body import RigidBodyConfig
 
             kw["rigid"] = RigidBodyConfig()
+            if not adjust:
+                # the paper's ablation is "online step adjustment off":
+                # on the rigid path that must also pin the WBC-side
+                # capture-step extension (config.step_ext_max), which is
+                # step adjustment by another mechanism — leaving it on
+                # would let the 'pinned' arm keep relocating landings
+                kw["step_ext_max"] = 0.0
         cfg = ergocub_gazebo_v1(mpc=mpc, **kw)
         ctl = WalkingController(cfg, model, weights)
         t = time.perf_counter()

@@ -136,3 +136,63 @@ def solve_eq_qp(H, g, A, b, dual_reg: float = 1e-6):
     rhs = jnp.concatenate([g, b], axis=-1)
     sol = jnp.linalg.solve(KKT, rhs)
     return sol[..., :n]
+
+
+def solve_eq_box_qp(
+    H,
+    g,
+    A,
+    b,
+    box_mask,
+    l,
+    u,
+    iters: int = 30,
+    rho: float = 50.0,
+    sigma: float = 1e-6,
+    dual_reg: float = 1e-6,
+):
+    """Equality + box-constrained dense QP via ADMM on the box rows:
+        min 1/2 v^T H v - g^T v   s.t.  A v = b,  l <= v[box] <= u[box]
+    `box_mask` [n] is 1.0 on box-constrained coordinates, 0.0 elsewhere
+    (l/u are full-length [n]; unmasked entries are ignored).
+
+    Extends solve_eq_qp with the inequality support BLF's osqp backend has
+    and the reference's ik.ini never uses (no inequality tasks configured,
+    WholeBodyQPBlock.cpp:131-175): joint position/velocity limit boxes on
+    the IK velocities (BLF JointLimitsTask / JointVelocityLimitsTask
+    analog). The KKT matrix (with the sigma-proximal and rho on the box
+    diagonal — the selector S = diag(box_mask) is diagonal, so S^T rho S
+    is too) is factored ONCE via matrix inverse; each of the fixed `iters`
+    ADMM steps is a single [n+m] matvec plus clip/dual updates — the same
+    fixed-trip-count straight-line structure as the MPC's admm_solve.
+    Exact equality feasibility is preserved by solving the equality-KKT
+    inside the x-update (same -dual_reg regularization as solve_eq_qp)."""
+    n = H.shape[-1]
+    m = A.shape[-2]
+    dt = H.dtype
+    d_rho = rho * box_mask
+    KKT = jnp.block(
+        [
+            [
+                H + (sigma * jnp.ones((n,), dt) + d_rho) * jnp.eye(n, dtype=dt),
+                jnp.swapaxes(A, -1, -2),
+            ],
+            [A, -dual_reg * jnp.eye(m, dtype=dt)],
+        ]
+    )
+    Kinv = jnp.linalg.inv(KKT)
+
+    x0 = solve_eq_qp(H, g, A, b, dual_reg)
+    z0 = jnp.clip(x0, l, u)
+    y0 = jnp.zeros_like(x0)
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = jnp.concatenate([g + sigma * x + d_rho * z - box_mask * y, b])
+        x = (Kinv @ rhs)[:n]
+        z = jnp.clip(x + y / rho, l, u)
+        y = y + rho * box_mask * (x - z)
+        return (x, z, y), None
+
+    (x, z, y), _ = jax.lax.scan(body, (x0, z0, y0), None, length=iters)
+    return x

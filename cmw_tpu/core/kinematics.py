@@ -53,6 +53,14 @@ class RobotModel:
     frame_link: np.ndarray  # [nf] link index
     frame_pos: np.ndarray  # [nf, 3] offset in link frame
     frame_rot: np.ndarray  # [nf, 3, 3]
+    # optional joint limits (URDF <limit lower/upper/velocity>; None when
+    # the source carries none). Consumed by the IK joint-limit box
+    # (wbc/diff_ik.IKTargets.qd_lo docstring) — the reference streams
+    # PositionDirect with only a max-admissible-error guard
+    # (centroidal_mpc_walking.ini:32); the real robot's limits live in
+    # its URDF, which the reference loads (CentroidalMPCBlock.cpp:150-151).
+    q_lim: np.ndarray | None = None  # [nj, 2] (lower, upper) rad
+    qd_lim: np.ndarray | None = None  # [nj] rad/s
 
     @property
     def nj(self):
@@ -306,6 +314,7 @@ def parse_urdf(source: str, base_link: str, joint_order: list[str], frames: dict
         child_of.setdefault(j.find("parent").get("link"), []).append(jname)
 
     jn, parent, axis, opos, orot = [], [], [], [], []
+    qlo, qhi, qvl = [], [], []
     link_names = [base_link]
     masses, coms, inertias = [], [], []
 
@@ -348,6 +357,10 @@ def parse_urdf(source: str, base_link: str, joint_order: list[str], frames: dict
                 axis.append(ax)
                 opos.append(p_new)
                 orot.append(R_new)
+                lim = j.find("limit")
+                qlo.append(float(lim.get("lower", -np.pi)) if lim is not None else -np.pi)
+                qhi.append(float(lim.get("upper", np.pi)) if lim is not None else np.pi)
+                qvl.append(float(lim.get("velocity", 10.0)) if lim is not None else 10.0)
                 mc, cc, Ic = link_inertial(child)
                 masses.append(mc)
                 coms.append(cc)
@@ -416,6 +429,8 @@ def parse_urdf(source: str, base_link: str, joint_order: list[str], frames: dict
         frame_link=flink,
         frame_pos=fpos,
         frame_rot=frot,
+        q_lim=np.stack([np.array([qlo[i], qhi[i]]) for i in order]),
+        qd_lim=np.array([qvl[i] for i in order]),
     )
 
 
@@ -556,6 +571,26 @@ def ergocub_approx() -> RobotModel:
         "head": (link_index["neck_yaw_l"], eye, np.array([0.0, 0.0, 0.15])),
     }
     fnames = tuple(frames.keys())
+    # joint limits: spec-class ESTIMATES (the authoritative values live in
+    # the unobtainable icub-models URDF — see ergocub_urdf provenance).
+    # Generous enough that the nominal gait never touches them; the
+    # meaningful tight ones are the knee (bends NEGATIVE in this model's
+    # calibrated axis convention — walking crouch ~-0.9 rad — so +0.1
+    # blocks hyperextension and -2.2 blocks folding flat, the measured
+    # end state of the round-4 speed runaway) and the ankle pitch.
+    _lim = {
+        "hip_pitch": (-2.0, 2.0), "hip_roll": (-1.2, 1.2),
+        "hip_yaw": (-1.2, 1.2), "knee": (-2.2, 0.1),
+        "ankle_pitch": (-0.9, 0.9), "ankle_roll": (-0.8, 0.8),
+        "torso_pitch": (-1.0, 1.2), "torso_roll": (-0.8, 0.8),
+        "torso_yaw": (-1.5, 1.5), "neck_pitch": (-1.0, 1.0),
+        "neck_roll": (-1.0, 1.0), "neck_yaw": (-1.5, 1.5),
+        "shoulder_pitch": (-2.8, 2.8), "shoulder_roll": (-2.8, 2.8),
+        "shoulder_yaw": (-2.8, 2.8), "elbow": (-2.0, 2.0),
+    }
+    q_lim = np.array(
+        [_lim[n.split("_", 1)[1] if n[1] == "_" else n] for n in ERGOCUB_JOINTS]
+    )
     return RobotModel(
         joint_names=ERGOCUB_JOINTS,
         parent=np.array(parent),
@@ -569,6 +604,8 @@ def ergocub_approx() -> RobotModel:
         frame_link=np.array([frames[f][0] for f in fnames]),
         frame_pos=np.stack([frames[f][2] for f in fnames]),
         frame_rot=np.stack([frames[f][1] for f in fnames]),
+        q_lim=q_lim,
+        qd_lim=np.full(len(ERGOCUB_JOINTS), 10.0),
     )
 
 

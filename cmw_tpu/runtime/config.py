@@ -268,6 +268,34 @@ class WalkingConfig:
     # back to the realized pose afterwards.
     step_ext_max: float = 0.20
     step_ext_margin: float = 0.06
+    # OVERSPEED DOUBLE-SUPPORT BRAKE (rigid plant only; traced as
+    # DynConfig.brake_speed/brake_margin; speed=0 disables). The terminal
+    # round-4 failure is an upright speed RUNAWAY (RESULTS.md §5d): each
+    # rushed landing still arrives behind the capture point, adds forward
+    # impulse, and speed ratchets to ~1.2 m/s until the legs fold — at
+    # that speed the capture step exceeds leg reach, so foot placement
+    # can no longer brake. Double support can: with both feet loaded the
+    # ZMP can travel the full two-foot polygon (~0.5 m with an extended
+    # capture step), worth ~g*d/z ≈ 5 m/s² of deceleration. While the
+    # measured planar speed exceeds brake_speed and the capture point is
+    # still coverable by a loaded toe (+brake_margin along travel), the
+    # gait clock pauses BEFORE lift-off (sharing gait-hold's machinery
+    # and its gait_hold_max_s cap) and the MPC sheds speed with two-foot
+    # force authority; past the margin, stepping is the only brake left
+    # and the hold releases to the gait-rush. The reference has no
+    # equivalent (its Gazebo plant never overspeeds the command).
+    brake_speed: float = 0.0
+    brake_margin: float = 0.05
+    # IK JOINT-LIMIT BOX (static; default off = the reference's exact
+    # equality-only ik.ini stack, WholeBodyQPBlock.cpp:131-175). When on,
+    # the IK QP adds qdot box constraints from the model's joint limits
+    # (BLF JointLimitsTask/JointVelocityLimitsTask analog, solved via
+    # qp.solve_eq_box_qp): lo/hi = clip(ik_limit_gain*(q_lim - q), ±qd_lim)
+    # — exponential approach to the position limits with time constant
+    # 1/ik_limit_gain, plus the absolute velocity cap. Requires a model
+    # with q_lim (ergocub_approx ships spec-class estimates).
+    ik_joint_limits: bool = False
+    ik_limit_gain: float = 5.0
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

@@ -88,6 +88,13 @@ class DynConfig(NamedTuple):
     odom_blend: jnp.ndarray  # [] per-tick anchor pull toward the plan pose
     #   (1 = instant, the reference's plan-anchored changeFixedFrame; <1 =
     #   complementary filter spreading landing error over ~wbc_dt/alpha)
+    brake_speed: jnp.ndarray  # [] m/s: overspeed double-support brake
+    #   ceiling (0 = off) — hold the clock before lift-off while the
+    #   measured speed exceeds it and the loaded support still covers
+    #   the capture point (config.brake_speed docstring)
+    brake_margin: jnp.ndarray  # [] m of capture overshoot past the loaded
+    #   toe beyond which the brake releases (stepping is the only brake
+    #   left out there)
 
 
 class StoredMann(NamedTuple):
@@ -428,6 +435,8 @@ class WalkingController:
                 step_ext_max=jnp.asarray(cfg.step_ext_max, dtype),
                 step_ext_margin=jnp.asarray(cfg.step_ext_margin, dtype),
                 odom_blend=jnp.asarray(cfg.odom_blend, dtype),
+                brake_speed=jnp.asarray(cfg.brake_speed, dtype),
+                brake_margin=jnp.asarray(cfg.brake_margin, dtype),
             ),
         )
 
@@ -533,6 +542,30 @@ class WalkingController:
             lagging = (about_to_lift | early_swing) & (
                 (load > s.dyn.gait_hold_thresh) | ~capture_ok
             )
+            # OVERSPEED DOUBLE-SUPPORT BRAKE (config.brake_speed
+            # docstring): the round-4 runaway (RESULTS.md §5d) ratchets
+            # speed up step by step — each rushed landing still arrives
+            # behind the capture point and adds impulse until the plant
+            # out-runs its leg geometry. Foot placement stops braking
+            # once the needed capture step exceeds reach; double support
+            # does not: with both feet loaded the ZMP can travel the
+            # whole two-foot polygon. While the measured speed exceeds
+            # brake_speed and the capture point is still coverable by a
+            # loaded toe (+brake_margin along travel — past that,
+            # stepping is the only brake left and holding makes it
+            # worse), pause the clock BEFORE lift-off so the MPC sheds
+            # the speed with two-foot force authority.
+            spd_m = jnp.linalg.norm(dcom_r[0:2])
+            vdir_m = dcom_r[0:2] / jnp.maximum(spd_m, 1e-6)
+            toe_al = jnp.max(
+                jnp.where(load > 0.05, pos_cp[:, 0:2] @ vdir_m + 0.08, -1e9)
+            )
+            brake = (
+                (s.dyn.brake_speed > 0)
+                & (spd_m > s.dyn.brake_speed)
+                & (jnp.dot(cp_xy, vdir_m) < toe_al + s.dyn.brake_margin)
+            )
+            lagging = lagging | (about_to_lift & brake)
             # never pause while some foot is in LATE swing: freezing the
             # clock then freezes that foot's descent mid-air (measured:
             # a 0.2 s hover at apex while the base drifts away) — let it
@@ -1201,6 +1234,19 @@ class WalkingController:
             ang_mom=x9[6:9] if cfg.rigid is not None else None,
             ang_mom_w=s.dyn.ang_mom_w if cfg.rigid is not None else None,
         )
+        if cfg.ik_joint_limits and model.q_lim is not None:
+            # joint-limit qdot box on the DESIRED trajectory (the stream
+            # the reference guards only with
+            # position_direct_max_admissible_error,
+            # centroidal_mpc_walking.ini:32): approach the position
+            # limits exponentially, capped by the actuator speed class
+            ql = jnp.asarray(model.q_lim[:, 0], s.q.dtype)
+            qh = jnp.asarray(model.q_lim[:, 1], s.q.dtype)
+            vm = jnp.asarray(model.qd_lim, s.q.dtype)
+            targets = targets._replace(
+                qd_lo=jnp.maximum(-vm, cfg.ik_limit_gain * (ql - s.q)),
+                qd_hi=jnp.minimum(vm, cfg.ik_limit_gain * (qh - s.q)),
+            )
         # THE loop-closing detail of the reference architecture: the IK's
         # kinematic state is the MEASURED base pose (legged odometry) with
         # the DESIRED joint positions (m_kinDynWithDesired->setRobotState(

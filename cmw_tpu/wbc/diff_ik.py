@@ -28,7 +28,7 @@ import numpy as np
 
 from cmw_tpu.core import kinematics as kin
 from cmw_tpu.core import lie
-from cmw_tpu.cmpc.qp import solve_eq_qp
+from cmw_tpu.cmpc.qp import solve_eq_box_qp, solve_eq_qp
 
 _JOINT_REG_WEIGHT = (
     1.0, 1.0, 1.0, 1.0, 1.0, 1.0,  # left leg   (ik.ini weight rows 1-2)
@@ -81,6 +81,19 @@ class IKTargets(NamedTuple):
     # rows entirely (static — the adherent hot path pays nothing).
     ang_mom: jnp.ndarray | None = None
     ang_mom_w: jnp.ndarray | None = None
+    # OPTIONAL joint-velocity box (BLF ships IK::JointLimitsTask /
+    # JointVelocityLimitsTask as inequality constraints in its osqp
+    # backend; the reference's ik.ini enables neither —
+    # WholeBodyQPBlock.cpp:131-175 — so None, the default, reproduces the
+    # reference's equality-only QP via one KKT solve). When set
+    # ([nj] lower, [nj] upper, rad/s — typically the position-limit
+    # avoidance bounds k*(q_lim - q) intersected with an absolute speed
+    # cap), the QP is solved with qp.solve_eq_box_qp instead: the hard
+    # task rows stay exact equalities and qdot is clipped into the box by
+    # a fixed-trip ADMM on the same factorization. Static choice: the
+    # adherent hot path pays nothing when None.
+    qd_lo: jnp.ndarray | None = None
+    qd_hi: jnp.ndarray | None = None
 
 
 def solve_ik(
@@ -154,4 +167,10 @@ def solve_ik(
 
     H = (Js * W[:, None]).T @ Js + cfg.damping * jnp.eye(nv, dtype=dt)
     g = (Js * W[:, None]).T @ es
+    if targets.qd_lo is not None:
+        mask = jnp.concatenate([jnp.zeros(6, dt), jnp.ones(model.nj, dt)])
+        big = jnp.asarray(1e9, dt)
+        lo = jnp.concatenate([jnp.full((6,), -big), targets.qd_lo])
+        hi = jnp.concatenate([jnp.full((6,), big), targets.qd_hi])
+        return solve_eq_box_qp(H, g, A, b, mask, lo, hi)
     return solve_eq_qp(H, g, A, b)

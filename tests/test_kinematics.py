@@ -229,3 +229,11 @@ def test_parse_urdf_ergocub_model():
     a = K.ergocub_approx()
     assert abs(a.total_mass - m.total_mass) > 0.5
     assert not np.allclose(a.link_inertia[0], m.link_inertia[0], rtol=0.2)
+    # joint limits come through the <limit> tags (consumed by the IK
+    # joint-limit box, config.ik_joint_limits) and contain the walk-ready
+    # pose with margin; approx model ships spec-class estimates likewise
+    for mdl in (m, a):
+        assert mdl.q_lim.shape == (26, 2) and mdl.qd_lim.shape == (26,)
+        assert np.all(mdl.q_lim[:, 0] < np.asarray(q0) - 0.05)
+        assert np.all(mdl.q_lim[:, 1] > np.asarray(q0) + 0.05)
+        assert np.all(mdl.qd_lim > 0)

@@ -170,6 +170,78 @@ def test_ik_closed_loop_converges_to_shifted_com(model):
     np.testing.assert_allclose(float(fp[model.frame_index("l_sole"), 2]), 0.0, atol=2e-3)
 
 
+def test_eq_box_qp_matches_eq_qp_when_loose():
+    """solve_eq_box_qp with a wide box reproduces the equality-only KKT
+    solution (the reference's exact ik.ini stack has no inequalities)."""
+    from cmw_tpu.cmpc.qp import solve_eq_box_qp, solve_eq_qp
+
+    rng = np.random.default_rng(0)
+    n, m = 12, 4
+    M = rng.normal(size=(n, n))
+    H = jnp.asarray(M @ M.T + n * np.eye(n), jnp.float32)
+    g = jnp.asarray(rng.normal(size=n), jnp.float32)
+    A = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=m), jnp.float32)
+    mask = jnp.ones(n, jnp.float32)
+    x_eq = solve_eq_qp(H, g, A, b)
+    x_box = solve_eq_box_qp(
+        H, g, A, b, mask, -1e6 * jnp.ones(n), 1e6 * jnp.ones(n), iters=60
+    )
+    np.testing.assert_allclose(np.asarray(x_box), np.asarray(x_eq), atol=1e-4)
+
+
+def test_eq_box_qp_clamps_active_box():
+    """A binding box coordinate lands on its bound; equality rows stay
+    satisfied; KKT stationarity holds on the free coordinates."""
+    from cmw_tpu.cmpc.qp import solve_eq_box_qp
+
+    n, m = 6, 2
+    H = jnp.eye(n, dtype=jnp.float32)
+    # unconstrained optimum v = g = 2*ones
+    g = 2.0 * jnp.ones(n, jnp.float32)
+    A = jnp.zeros((m, n), jnp.float32).at[0, 0].set(1.0).at[1, 1].set(1.0)
+    b = jnp.asarray([0.5, -0.5], jnp.float32)
+    mask = jnp.concatenate([jnp.zeros(2), jnp.ones(4)]).astype(jnp.float32)
+    lo = jnp.full((n,), -1e6, jnp.float32).at[2].set(-1.0).at[3].set(-1.0)
+    hi = jnp.full((n,), 1e6, jnp.float32).at[2].set(1.0).at[3].set(0.3)
+    x = solve_eq_box_qp(H, g, A, b, mask, lo, hi, iters=100)
+    x = np.asarray(x)
+    np.testing.assert_allclose(x[0], 0.5, atol=1e-3)  # equality rows exact
+    np.testing.assert_allclose(x[1], -0.5, atol=1e-3)
+    np.testing.assert_allclose(x[2], 1.0, atol=1e-3)  # clamped at hi
+    np.testing.assert_allclose(x[3], 0.3, atol=1e-3)  # clamped at hi
+    np.testing.assert_allclose(x[4:], 2.0, atol=1e-3)  # free coords at optimum
+
+
+def test_ik_joint_limit_box_respected(model):
+    """A tight velocity box saturates the box-only coordinates (arm joints,
+    driven purely by the soft posture task, so the box never conflicts
+    with the hard rows) while the hard foot rows remain exact. NB hard
+    task rows stay EQUALITIES — a box inconsistent with them is resolved
+    in the equalities' favor, matching the task priorities."""
+    q, base_rot = kin.walk_ready_pose()
+    q = jnp.asarray(q)
+    base_R, base_p = jnp.asarray(base_rot), jnp.asarray([0.0, 0.0, 0.75])
+    t = _standing_targets(model, q, base_R, base_p)
+    # demand a big arm swing via the posture task
+    el = model.joint_index("l_elbow")
+    t = t._replace(q_reg=q.at[el].add(1.0))
+    nu_free = diff_ik.solve_ik(model, q, base_R, base_p, t)
+    cap = 0.3 * float(jnp.abs(nu_free[6 + el]))
+    t_lim = t._replace(
+        qd_lo=jnp.full((model.nj,), -cap), qd_hi=jnp.full((model.nj,), cap)
+    )
+    nu = diff_ik.solve_ik(model, q, base_R, base_p, t_lim)
+    qd = np.asarray(nu[6:])
+    assert abs(qd[el]) <= cap * 1.02 + 1e-5, (qd[el], cap)
+    assert abs(qd[el]) >= cap * 0.9, (qd[el], cap)  # it saturates, not dies
+    # hard foot rows still exact
+    lR, lp = kin.fk(model, q, base_R, base_p)
+    for f in ("l_sole", "r_sole"):
+        J = kin.frame_jacobian(model, lR, lp, model.frame_index(f))
+        np.testing.assert_allclose(np.asarray(J @ nu), 0.0, atol=2e-3)
+
+
 # --- estimation -------------------------------------------------------------
 
 
