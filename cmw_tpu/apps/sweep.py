@@ -60,12 +60,31 @@ def main(argv=None):
         "paper's push-recovery protocol)",
     )
     p.add_argument(
+        "--ramp",
+        type=float,
+        default=None,
+        help="joystick ramp-in seconds (default: 1.0 rigid, 0 adherent — "
+        "the rigid plant's measured operating point, exp_rigid --ramp)",
+    )
+    p.add_argument(
+        "--push-t0",
+        type=float,
+        default=0.6,
+        help="push window start [s] (move past the ramp for rigid runs)",
+    )
+    p.add_argument(
         "--rigid",
         action="store_true",
         help="run the scenarios on the full rigid-body dynamics plant "
         "(sim/rigid_body.py — the Gazebo stand-in) instead of the adherent "
         "kinematic plant; fall criterion becomes the physical base tipping "
         "over or collapsing",
+    )
+    p.add_argument(
+        "--op-point",
+        action="store_true",
+        help="apply the measured rigid-gait operating point (RESULTS.md "
+        "§5d: perfect_state, com_height_drop=0.10, swing_height=0.07)",
     )
     p.add_argument(
         "--mann",
@@ -113,6 +132,14 @@ def main(argv=None):
             from cmw_tpu.sim.rigid_body import RigidBodyConfig
 
             kw["rigid"] = RigidBodyConfig()
+            if args.op_point:
+                from cmw_tpu.wbc.swing_foot import SwingFootConfig
+
+                kw.update(
+                    perfect_state=True,
+                    com_height_drop=0.10,
+                    swing=SwingFootConfig(step_height=0.07),
+                )
             if not adjust:
                 # the paper's ablation is "online step adjustment off":
                 # on the rigid path that must also pin the WBC-side
@@ -124,6 +151,7 @@ def main(argv=None):
         ctl = WalkingController(cfg, model, weights)
         t = time.perf_counter()
         vx = args.vx if args.vx is not None else (0.0 if args.rigid else 0.8)
+        ramp = args.ramp if args.ramp is not None else (1.0 if args.rigid else 0.0)
         stats = run_sweep(
             ctl,
             batch=args.batch,
@@ -134,6 +162,12 @@ def main(argv=None):
             per_scenario=args.per_scenario,
             push_duration=args.push_duration,
             vx=vx,
+            ramp=ramp,
+            push_t0=args.push_t0,
+            # commanded-walking gait criterion at the operating point
+            # (dist/sweep._shard_metrics docstring)
+            up_thresh=0.7 if (args.rigid and args.op_point) else 0.9,
+            model_guards=not (args.rigid and args.op_point),
         )
         wall = time.perf_counter() - t
         stats.update(

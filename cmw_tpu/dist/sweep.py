@@ -25,25 +25,39 @@ def build_scenarios(
     push_max: float,
     push_duration: float = 0.4,
     vx: float = 0.8,
+    ramp: float = 0.0,
+    push_t0: float = 0.6,
 ):
     """B push scenarios: magnitude in [-push_max, push_max], window of
-    `push_duration` s starting at 0.6 s, alternating x/y direction.
+    `push_duration` s starting at `push_t0` s, alternating x/y direction.
 
     A short pulse (default 0.4 s) tests impulse recovery — absorbable by
     contact forces alone when force authority allows. A sustained push
     (>= 1.5 s) forces the ZMP toward the support boundary for longer than
     force authority can bridge, which is the regime where online footstep
-    adjustment (vs pinned footsteps) separates."""
+    adjustment (vs pinned footsteps) separates.
+
+    `ramp` > 0 slews the joystick from 0 to vx over that many seconds
+    (the rigid plant's measured operating point starts with a 1 s ramp —
+    tools/exp_rigid.py --ramp; a step command lurches the physical
+    robot)."""
     cfg = ctl.cfg
     S = int(round(seconds / cfg.wbc_dt))
     S = max(cfg.mpc_every, S - S % cfg.mpc_every)  # block-align for run_episode_blocked
     base = constant_inputs(S, (vx, 0.0, 1.0, 0.0))
+    if ramp > 0:
+        tr = jnp.clip(jnp.arange(S) * cfg.wbc_dt / ramp, 0.0, 1.0)
+        base = base._replace(
+            joypad=base.joypad
+            * jnp.stack([tr, tr, jnp.ones(S), jnp.ones(S)], axis=1)
+        )
     mags = jnp.linspace(-push_max, push_max, batch)
     dirs = jnp.stack(
         [jnp.where(jnp.arange(batch) % 2 == 0, 1.0, 0.0), jnp.where(jnp.arange(batch) % 2 == 0, 0.0, 1.0)],
         axis=-1,
     )  # [B, 2]
-    i0, i1 = int(0.6 / cfg.wbc_dt), int((0.6 + push_duration) / cfg.wbc_dt)
+    i0 = int(push_t0 / cfg.wbc_dt)
+    i1 = int((push_t0 + push_duration) / cfg.wbc_dt)
     win = jnp.zeros((S,)).at[i0:i1].set(1.0)
     push = win[None, :, None] * mags[:, None, None] * jnp.pad(dirs, ((0, 0), (0, 1)))[:, None, :]
     inputs = jax.vmap(lambda pf: base._replace(ext_force=pf))(push)
@@ -121,21 +135,31 @@ UP_MIN = 0.9
 BASE_Z_FRAC_MIN = 0.75
 
 
-def _shard_metrics(ctl, s0, inputs, with_axis: bool, chunk: int = 0):
+def _shard_metrics(
+    ctl, s0, inputs, with_axis: bool, chunk: int = 0,
+    up_thresh: float = UP_MIN, model_guards: bool = True,
+):
     supp_dev, z_dev, track_err, finite, up_min, bz_min, zb0 = _episode_metrics(
         ctl, s0, inputs, chunk
     )
     if ctl.cfg.rigid is not None:
         # the plant gives the honest fall signal: the physical base tips
         # over or collapses. The model-side criteria stay as guards against
-        # adherent-loop divergence.
+        # adherent-loop divergence. For COMMANDED-WALKING sweeps pass
+        # up_thresh=0.7 / model_guards=False (the exp_grid gait criterion:
+        # healthy operating-point walking transiently tilts to ~35 deg and
+        # the capture-extended steps legitimately run the desired feet
+        # ahead of the CoM, so the standing thresholds misread it as a
+        # fall; tilt 45 deg / base collapse remain unambiguous).
         survived = (
             finite
-            & (up_min > UP_MIN)
+            & (up_min > up_thresh)
             & (bz_min > BASE_Z_FRAC_MIN * zb0)
-            & (supp_dev < SUPP_DEV_MAX)
-            & (z_dev < Z_DEV_MAX)
         )
+        if model_guards:
+            survived = (
+                survived & (supp_dev < SUPP_DEV_MAX) & (z_dev < Z_DEV_MAX)
+            )
     else:
         survived = (
             finite
@@ -169,8 +193,14 @@ def run_sweep(
     per_scenario: bool = False,
     push_duration: float = 0.4,
     vx: float = 0.8,
+    ramp: float = 0.0,
+    push_t0: float = 0.6,
+    up_thresh: float = UP_MIN,
+    model_guards: bool = True,
 ) -> dict:
-    s0, inputs = build_scenarios(ctl, batch, seconds, push_max, push_duration, vx)
+    s0, inputs = build_scenarios(
+        ctl, batch, seconds, push_max, push_duration, vx, ramp, push_t0
+    )
 
     if use_mesh:
         devs = jax.devices()
@@ -179,7 +209,9 @@ def run_sweep(
         mesh = Mesh(np.array(devs), ("batch",))
         fn = jax.jit(
             jax.shard_map(
-                lambda s, i: _shard_metrics(ctl, s, i, True, chunk),
+                lambda s, i: _shard_metrics(
+                    ctl, s, i, True, chunk, up_thresh, model_guards
+                ),
                 mesh=mesh,
                 in_specs=(P("batch"), P("batch")),
                 out_specs=(P("batch"), P()),
@@ -187,7 +219,11 @@ def run_sweep(
             )
         )
     else:
-        fn = jax.jit(lambda s, i: _shard_metrics(ctl, s, i, False, chunk))
+        fn = jax.jit(
+            lambda s, i: _shard_metrics(
+                ctl, s, i, False, chunk, up_thresh, model_guards
+            )
+        )
 
     survived, stats = fn(s0, inputs)
     out = {

@@ -296,6 +296,25 @@ class WalkingConfig:
     # with q_lim (ergocub_approx ships spec-class estimates).
     ik_joint_limits: bool = False
     ik_limit_gain: float = 5.0
+    # FORWARD-ESCAPE HOLD RELEASE + DOUBLE-SUPPORT RUSH (rigid plant
+    # only; traced as DynConfig.fwd_release/rush_ds, bool-as-float).
+    # Round-4 terminal-mode trace (tools/trace_report.py on the 4.4-4.8 s
+    # operating-point falls): the gait-hold — built for incomplete
+    # LATERAL weight transfer — engages in double support while the
+    # capture point has escaped +0.28 m FORWARD past the stance+landing
+    # hull, freezing the clock exactly when stepping is the only
+    # recovery; the robot falls over the front toe with hold=1.0.
+    # fwd_release vetoes any hold once the capture point passes the
+    # REMAINING stance foot's toe (+rush_margin) along the travel
+    # direction — beyond that boundary the stance foot cannot capture
+    # the fall and only the lifting foot's (rushed, capture-extended)
+    # step can, so the clock switches from hold straight into rush;
+    # rush_ds lets the gait-rush accelerate the clock from double
+    # support as well, so the catching step arrives early. Defaults ON
+    # (measured: RESULTS.md §5d round-4 grid); zero both to recover the
+    # round-3 behavior.
+    fwd_release: float = 1.0
+    rush_ds: float = 1.0
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

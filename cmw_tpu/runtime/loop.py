@@ -95,6 +95,14 @@ class DynConfig(NamedTuple):
     brake_margin: jnp.ndarray  # [] m of capture overshoot past the loaded
     #   toe beyond which the brake releases (stepping is the only brake
     #   left out there)
+    fwd_release: jnp.ndarray  # [] bool-as-float: suppress the gait-hold
+    #   when the capture point escapes FORWARD (along travel) past the
+    #   stance+landing hull — stepping is the only recovery out there;
+    #   holding pins the plan mid-transfer (measured terminal mode
+    #   2026-08-21: double-support hold with cp_over=+0.28 -> fall)
+    rush_ds: jnp.ndarray  # [] bool-as-float: let the gait-rush run from
+    #   DOUBLE support too (hurry the upcoming lift) when the capture
+    #   point is past the loaded toe, not only while a foot swings
 
 
 class StoredMann(NamedTuple):
@@ -437,6 +445,8 @@ class WalkingController:
                 odom_blend=jnp.asarray(cfg.odom_blend, dtype),
                 brake_speed=jnp.asarray(cfg.brake_speed, dtype),
                 brake_margin=jnp.asarray(cfg.brake_margin, dtype),
+                fwd_release=jnp.asarray(cfg.fwd_release, dtype),
+                rush_ds=jnp.asarray(cfg.rush_ds, dtype),
             ),
         )
 
@@ -539,8 +549,37 @@ class WalkingController:
             lo = jnp.minimum(stance_xy, land_xy) - margin
             hi = jnp.maximum(stance_xy, land_xy) + margin
             capture_ok = jnp.all((cp_xy >= lo) & (cp_xy <= hi), axis=-1)
-            lagging = (about_to_lift | early_swing) & (
-                (load > s.dyn.gait_hold_thresh) | ~capture_ok
+            # FORWARD CAPTURE ESCAPE (config.fwd_release docstring): the
+            # hold conditions above treat every transfer lag as "pause
+            # and finish the transfer", which is right while the
+            # REMAINING stance foot can still capture the fall but fatal
+            # once the capture point passes that foot's toe along the
+            # travel direction: from there no amount of two-foot force
+            # scheduling brings the CoM back — the lifting foot's step
+            # (rushed, capture-extended) is the only recovery, and a
+            # pause just delays it while the robot rolls over the front
+            # toe (measured terminal mode of the 4.4-4.8 s runs: a
+            # double-support LOAD hold at hold=1.0 while the capture
+            # point marched 0.28 m past the toe). Released at the same
+            # geometric boundary the gait-rush engages on (+rush_margin),
+            # so the clock switches from hold straight into rush.
+            spd_m = jnp.linalg.norm(dcom_r[0:2])
+            vdir_m = dcom_r[0:2] / jnp.maximum(spd_m, 1e-6)
+            toe_other = (
+                pos_cp[::-1, 0:2] @ vdir_m + 0.08
+            )  # [2] remaining-stance-foot toe along travel, per lifting foot
+            fwd_escape = (
+                (jnp.dot(cp_xy, vdir_m) > toe_other + s.dyn.rush_margin)
+                & (spd_m > 0.05)
+                & (s.dyn.fwd_release > 0)
+            )
+            # fwd_escape vetoes the hold outright (load-lag holds
+            # included): any pause while the capture point is out past
+            # the leading edge just delays the step that must catch it
+            lagging = (
+                (about_to_lift | early_swing)
+                & ((load > s.dyn.gait_hold_thresh) | ~capture_ok)
+                & ~fwd_escape
             )
             # OVERSPEED DOUBLE-SUPPORT BRAKE (config.brake_speed
             # docstring): the round-4 runaway (RESULTS.md §5d) ratchets
@@ -554,9 +593,8 @@ class WalkingController:
             # loaded toe (+brake_margin along travel — past that,
             # stepping is the only brake left and holding makes it
             # worse), pause the clock BEFORE lift-off so the MPC sheds
-            # the speed with two-foot force authority.
-            spd_m = jnp.linalg.norm(dcom_r[0:2])
-            vdir_m = dcom_r[0:2] / jnp.maximum(spd_m, 1e-6)
+            # the speed with two-foot force authority. (spd_m/vdir_m
+            # computed above for the forward-escape test.)
             toe_al = jnp.max(
                 jnp.where(load > 0.05, pos_cp[:, 0:2] @ vdir_m + 0.08, -1e9)
             )
@@ -1187,8 +1225,13 @@ class WalkingController:
             rush = jnp.clip(
                 s.dyn.rush_gain * jnp.maximum(over, 0.0), 0.0, 2.0
             )
+            # config.rush_ds: with the capture point past the loaded toe
+            # and BOTH feet down, hurry the upcoming lift too (the
+            # swing-only gate left double support advancing at nominal
+            # clock rate while the forward fall developed)
+            gate_sup = any_swing | (s.dyn.rush_ds > 0)
             rush = jnp.where(
-                any_swing & (s.dyn.rush_gain > 0) & (sp > 0.05), rush, 0.0
+                gate_sup & (s.dyn.rush_gain > 0) & (sp > 0.05), rush, 0.0
             )
 
         # chest set-point: WORLD-UPRIGHT at the regularization config's yaw

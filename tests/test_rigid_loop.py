@@ -107,23 +107,29 @@ def test_rigid_stand(ctl):
 
 
 def test_rigid_walk_forward(ctl_walk):
-    """Commanded forward walk physically advances the robot through its
-    first steps at the measured round-3 operating point.
+    """GAIT-ENDURANCE REGRESSION GUARD (VERDICT r3 item 8): commanded
+    forward walk at the measured round-4 operating point must survive the
+    assertion window upright and advancing.
 
-    Known gap (RESULTS.md §5c): sustained walking beyond ~2.4 s / 3 steps
-    still ends in a forward-momentum vault (the braking torque pitches
-    the torso instead of decelerating the CoM) — the assertion window
-    stops at 1.4 s, within the TPU-measured 2.4 s survival with margin
-    for CPU/TPU chaotic divergence. Envelope asserts only: the closed
-    loop is chaotic across platforms."""
-    S = 720  # 1.44 s
+    The TPU-measured frontier is 4.54 s / 8 steps / +1.59 m (RESULTS.md
+    §5d continued); the closed loop is chaotic across platforms (verify
+    SKILL.md), so the guard asserts a 3.0 s envelope — comfortably past
+    the round-3 frontier (2.49-2.55 s: a regression to round-3 behavior
+    FAILS this test) while leaving margin for CPU/TPU divergence.
+    Calibrated against a CPU run of this exact body (2026-08-21)."""
+    S = 1500  # 3.0 s
     sN, tel = ctl_walk.run_episode_blocked(
         ctl_walk.initial_state(), ramped_inputs(S, 0.8, 1.0)
     )
     up = np.asarray(tel.base_act_up)
     bp = np.asarray(tel.base_act_pos)
+    fc = np.asarray(tel.foot_contact)
     assert np.isfinite(bp).all()
-    assert up.min() > 0.72, up.min()
+    assert up.min() > 0.70, up.min()
     assert bp[:, 2].min() > 0.5, bp[:, 2].min()
-    # the PHYSICAL base moved forward
-    assert bp[-1, 0] - bp[0, 0] > 0.08, bp[-1, 0] - bp[0, 0]
+    # the PHYSICAL base moved forward through multiple completed steps
+    assert bp[-1, 0] - bp[0, 0] > 0.35, bp[-1, 0] - bp[0, 0]
+    ss = fc.sum(1) < 1.5
+    swing_id = np.where(ss, np.argmin(fc, axis=1), -1)
+    steps = int(np.sum((swing_id[1:] != swing_id[:-1]) & (swing_id[1:] >= 0)))
+    assert steps >= 3, steps
