@@ -127,7 +127,9 @@ class MPCConfig:
     # traffic at n=512), packed once per solve. f32-only (composes with
     # kkt_dtype="f32"). Measured on v5e: +2.3% end-to-end (6,018 vs
     # 5,884 solves/s) -- the MXU row padding absorbs most of the saving.
-    xupdate_impl: str = "dense"
+    # "auto" = symv on TPU when kkt_dtype resolves to f32, dense elsewhere
+    # (the interpret-mode kernel would only slow CPU tests down).
+    xupdate_impl: str = "auto"
     # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
     # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
     # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a

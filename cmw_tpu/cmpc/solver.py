@@ -151,7 +151,10 @@ class CentroidalMPCSolver:
         grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
 
         inv = _inverse_fn(cfg)
-        use_symv = cfg.xupdate_impl == "symv" and cfg.kkt_dtype == "f32"
+        xupd = cfg.xupdate_impl
+        if xupd == "auto":
+            xupd = "symv" if jax.default_backend() == "tpu" else "dense"
+        use_symv = xupd == "symv" and cfg.kkt_dtype == "f32"
         if use_symv:
             from cmw_tpu.ops.symv import pack_symmetric
 
