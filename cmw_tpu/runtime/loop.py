@@ -210,6 +210,32 @@ class WalkingController:
         self.solver = CentroidalMPCSolver(cfg.mpc)
         self.mass = model.total_mass
 
+    # The episode entry points are jitted with `self` STATIC
+    # (static_argnums=0), and jax keys static args by __hash__/__eq__.
+    # The default identity hash is UNSAFE across controller lifetimes:
+    # CPython reuses a freed object's id, so a controller built after a
+    # previous one died can alias the dead controller's jit-cache entry
+    # and silently run the OLD config's executable. Observed in
+    # `sweep --ablation` (one process, sequential arms): the
+    # pinned-footstep arm reproduced the step-adjustment arm's 32
+    # scenario outcomes bit-for-bit while the same two configs run
+    # side-by-side (both objects alive) diverged within 2 s. Hash and
+    # compare by STATIC VALUE instead: the frozen WalkingConfig carries
+    # full value semantics; model/weights compare by identity (the
+    # cached key holds strong refs, so a hit's stored objects are alive
+    # and `is` is sound). Bonus: same-value controllers now share
+    # compiled episodes instead of re-tracing.
+    def __hash__(self):
+        return hash(self.cfg)
+
+    def __eq__(self, other):
+        return (
+            type(other) is WalkingController
+            and self.cfg == other.cfg
+            and self.model is other.model
+            and self.weights is other.weights
+        )
+
     # -- init -----------------------------------------------------------------
 
     def polished_initial_pose(self, dtype=jnp.float32, drop: float = None):
