@@ -315,6 +315,18 @@ class WalkingConfig:
     # round-3 behavior.
     fwd_release: float = 1.0
     rush_ds: float = 1.0
+    # CHEST ANCHORING STIFFNESS + CAPTURE-SCHEDULED LEAN (rigid plant
+    # only; traced as DynConfig.chest_w_rp/chest_lean_gain). The §5d
+    # terminal mode stores ~35 deg of backward torso pitch during
+    # capture braking that nothing in the reference's ik.ini stack can
+    # dump (the chest task is soft; the IK angular-momentum task is
+    # measured harmful). chest_w_rp multiplies the chest task's
+    # roll/pitch weight rows (1 = ik.ini parity); chest_lean_gain
+    # [rad/m] tilts the chest target toward the travel direction in
+    # proportion to capture-point overshoot past the stance toe
+    # (0 = the reference's pure world-upright-at-yaw target).
+    chest_w_rp: float = 1.0
+    chest_lean_gain: float = 0.0
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

@@ -103,6 +103,15 @@ class DynConfig(NamedTuple):
     rush_ds: jnp.ndarray  # [] bool-as-float: let the gait-rush run from
     #   DOUBLE support too (hurry the upcoming lift) when the capture
     #   point is past the loaded toe, not only while a foot swings
+    chest_w_rp: jnp.ndarray  # [] multiplier on the IK chest task's
+    #   roll/pitch weight rows (1 = the reference's ik.ini stiffness;
+    #   the measured terminal mode is backward torso pitch the soft
+    #   chest task cannot arrest — RESULTS.md §5d)
+    chest_lean_gain: jnp.ndarray  # [] rad/m: proactive forward chest
+    #   lean per meter of capture-point overshoot past the stance toe
+    #   (0 = off) — schedules the chest SO3 target to dump backward
+    #   angular momentum into the task the IK already anchors, instead
+    #   of adding a separate momentum task (measured harmful, §5d)
 
 
 class StoredMann(NamedTuple):
@@ -473,6 +482,8 @@ class WalkingController:
                 brake_margin=jnp.asarray(cfg.brake_margin, dtype),
                 fwd_release=jnp.asarray(cfg.fwd_release, dtype),
                 rush_ds=jnp.asarray(cfg.rush_ds, dtype),
+                chest_w_rp=jnp.asarray(cfg.chest_w_rp, dtype),
+                chest_lean_gain=jnp.asarray(cfg.chest_lean_gain, dtype),
             ),
         )
 
@@ -1246,7 +1257,9 @@ class WalkingController:
             toe = jnp.max(
                 jnp.where(feet.in_contact > 0.5, along + 0.08, -1e9)
             )
-            over = jnp.dot(cp2, dirv) - (toe + s.dyn.rush_margin)
+            cp_over_toe = jnp.dot(cp2, dirv) - toe  # margin-free, for the
+            # chest-lean schedule below (rush subtracts its own margin)
+            over = cp_over_toe - s.dyn.rush_margin
             any_swing = jnp.any(feet.in_contact < 0.5)
             rush = jnp.clip(
                 s.dyn.rush_gain * jnp.maximum(over, 0.0), 0.0, 2.0
@@ -1284,6 +1297,28 @@ class WalkingController:
         chest_rot_target = lie.rotz(
             lie.yaw_of(rfR[model.frame_index(yaw_frame)])
         )
+        if cfg.rigid is not None:
+            # capture-scheduled forward lean (config.chest_lean_gain
+            # docstring): when the capture point escapes past the stance
+            # toe the torso is about to be pitched BACKWARD by the toe
+            # braking the CoM (§5d kill chain step 2) — tilt the chest
+            # target toward the travel direction so the anchoring task
+            # pre-compensates; gain 0 keeps the reference's pure
+            # world-upright target. Axis (-dy, dx, 0) tips the torso top
+            # toward dirv.
+            lean = jnp.where(
+                sp > 0.05,
+                jnp.clip(
+                    s.dyn.chest_lean_gain * jnp.maximum(cp_over_toe, 0.0),
+                    0.0,
+                    0.4,
+                ),
+                0.0,
+            )
+            lean_axis = jnp.stack(
+                [-dirv[1], dirv[0], jnp.zeros((), s.x9.dtype)]
+            )
+            chest_rot_target = lie.so3_exp(lean * lean_axis) @ chest_rot_target
 
         targets = IKTargets(
             foot_rot=feet.rot,
@@ -1302,6 +1337,7 @@ class WalkingController:
             # parity path keeps the reference's exact ik.ini stack)
             ang_mom=x9[6:9] if cfg.rigid is not None else None,
             ang_mom_w=s.dyn.ang_mom_w if cfg.rigid is not None else None,
+            chest_w_rp=s.dyn.chest_w_rp if cfg.rigid is not None else None,
         )
         if cfg.ik_joint_limits and model.q_lim is not None:
             # joint-limit qdot box on the DESIRED trajectory (the stream

@@ -94,6 +94,15 @@ class IKTargets(NamedTuple):
     # adherent hot path pays nothing when None.
     qd_lo: jnp.ndarray | None = None
     qd_hi: jnp.ndarray | None = None
+    # OPTIONAL traced multiplier on the chest task's roll/pitch weight
+    # rows (the world-x/y components of the SO3 log error). The reference
+    # weights all three axes equally (ik.ini CHEST_TASK weight, used via
+    # cfg.chest_weight); the rigid plant's measured terminal mode is
+    # backward torso pitch that the soft chest task cannot arrest
+    # (RESULTS.md §5d), so the rigid path exposes the roll/pitch
+    # anchoring stiffness as a runtime knob. None (static) = reference
+    # behavior, zero cost on the adherent path.
+    chest_w_rp: jnp.ndarray | None = None
 
 
 def solve_ik(
@@ -142,6 +151,11 @@ def solve_ik(
     Jchest = kin.frame_jacobian(model, lR, lp, cidx)[3:6]
     e_chest = cfg.kp_chest * lie.so3_log(targets.chest_rot @ fR[cidx].T)
     w_chest = jnp.asarray(cfg.chest_weight, dt)
+    if targets.chest_w_rp is not None:
+        # scale only the world-roll/pitch rows; yaw keeps the ik.ini weight
+        w_chest = w_chest * jnp.stack(
+            [targets.chest_w_rp, targets.chest_w_rp, jnp.ones((), dt)]
+        )
 
     Jpost = jnp.concatenate([jnp.zeros((model.nj, 6), dt), jnp.eye(model.nj, dtype=dt)], axis=1)
     e_post = jnp.asarray(cfg.kp_posture, dt) * (targets.q_reg - q)
