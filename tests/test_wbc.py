@@ -242,6 +242,45 @@ def test_ik_joint_limit_box_respected(model):
         np.testing.assert_allclose(np.asarray(J @ nu), 0.0, atol=2e-3)
 
 
+def test_ik_chest_w_rp_stiffens_pitch_tracking(model):
+    """chest_w_rp multiplies the chest task's roll/pitch weight rows:
+    1 (or None) keeps the reference ik.ini behavior bit-for-bit at the
+    math level; large values make a pitched-forward chest target win
+    against the posture regularization (the §5d backward-torso-pitch
+    terminal mode is exactly this soft-task contest)."""
+    q, base_rot = kin.walk_ready_pose()
+    q = jnp.asarray(q)
+    base_R, base_p = jnp.asarray(base_rot), jnp.asarray([0.0, 0.0, 0.75])
+    t = _standing_targets(model, q, base_R, base_p)
+    # pitched-forward chest target conflicting with q_reg = current pose
+    t = t._replace(
+        chest_rot=lie.so3_exp(jnp.asarray([0.0, 0.2, 0.0])) @ t.chest_rot
+    )
+    lR, lp = kin.fk(model, q, base_R, base_p)
+    Jc = kin.frame_jacobian(model, lR, lp, model.frame_index("chest"))[3:6]
+
+    nu_none = diff_ik.solve_ik(model, q, base_R, base_p, t)
+    nu_one = diff_ik.solve_ik(
+        model, q, base_R, base_p, t._replace(chest_w_rp=jnp.asarray(1.0))
+    )
+    np.testing.assert_allclose(np.asarray(nu_one), np.asarray(nu_none), atol=1e-6)
+
+    wy_none = float((Jc @ nu_none)[1])  # achieved chest pitch rate
+    nu_stiff = diff_ik.solve_ik(
+        model, q, base_R, base_p, t._replace(chest_w_rp=jnp.asarray(100.0))
+    )
+    wy_stiff = float((Jc @ nu_stiff)[1])
+    # commanded rate is kp_chest * 0.2 = 1.0 rad/s: the reference
+    # weighting concedes ~20% of it to the posture task (measured 0.81);
+    # the stiff solve must recover nearly all of it
+    assert wy_stiff > wy_none > 0.0, (wy_stiff, wy_none)
+    assert wy_stiff > 0.95 * 1.0, (wy_stiff, wy_none)
+    # hard foot rows stay exact either way
+    for f in ("l_sole", "r_sole"):
+        J = kin.frame_jacobian(model, lR, lp, model.frame_index(f))
+        np.testing.assert_allclose(np.asarray(J @ nu_stiff), 0.0, atol=1e-4)
+
+
 # --- estimation -------------------------------------------------------------
 
 
