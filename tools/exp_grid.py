@@ -69,13 +69,30 @@ def main():
     ap.add_argument("--urdf", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save", default="", help="save batched telemetry npz")
+    ap.add_argument("--push-t0", type=float, default=1.5,
+                    help="per-item push window start [s] (push=/pushy= keys)")
+    ap.add_argument("--push-dur", type=float, default=0.4,
+                    help="per-item push window length [s]")
+    ap.add_argument("--no-adjust", action="store_true",
+                    help="the paper's ablation arm: pin the MPC footsteps "
+                    "to nominal (cmpc.formulation.no_adjust) AND zero the "
+                    "WBC capture-step extension (step adjustment by "
+                    "another mechanism)")
     args = ap.parse_args()
 
     kw = parse_kw(args.kw)
     if "swing_height" in kw:
         from cmw_tpu.wbc.swing_foot import SwingFootConfig
         kw["swing"] = SwingFootConfig(step_height=float(kw.pop("swing_height")))
+    if args.no_adjust:
+        kw["step_ext_max"] = 0.0
     cfg = ergocub_gazebo_v1(rigid=RigidBodyConfig(**parse_kw(args.rbkw)), **kw)
+    if args.no_adjust:
+        import dataclasses
+
+        from cmw_tpu.cmpc.formulation import no_adjust
+
+        cfg = dataclasses.replace(cfg, mpc=no_adjust(cfg.mpc))
     model = kin.ergocub_urdf() if args.urdf else kin.ergocub_approx()
     ctl = WalkingController(cfg, model, load_mann_weights(MANN))
 
@@ -98,9 +115,14 @@ def main():
     dyn = s0b.dyn
     rbp = s0b.rb.params
     vxs = np.full(K, args.vx, np.float32)
+    push_xy = np.zeros((K, 2), np.float32)  # push=/pushy= keys [m/s^2]
     for i, d in enumerate(settings):
         for k, v in d.items():
-            if k == "vx":
+            if k == "push":
+                push_xy[i, 0] = float(v)
+            elif k == "pushy":
+                push_xy[i, 1] = float(v)
+            elif k == "vx":
                 vxs[i] = float(v)
             elif k.startswith("rb:"):
                 f = k[3:]
@@ -122,6 +144,18 @@ def main():
     inputs = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (K,) + a.shape), base
     )._replace(joypad=joyb)
+    if push_xy.any():
+        # per-item push pulse (mass-normalized, applied at the physical
+        # base in rigid mode — runtime/loop ext_force_base). Pure input
+        # data: reuses the compiled executable across push sweeps.
+        i0 = int(args.push_t0 / cfg.wbc_dt)
+        i1 = int((args.push_t0 + args.push_dur) / cfg.wbc_dt)
+        win = jnp.zeros((S,)).at[i0:i1].set(1.0)
+        pf = (
+            win[None, :, None]
+            * jnp.pad(jnp.asarray(push_xy), ((0, 0), (0, 1)))[:, None, :]
+        )
+        inputs = inputs._replace(ext_force=pf)
 
     fn = jax.jit(jax.vmap(ctl.run_episode_blocked))
     sN, tel = fn(s0b, inputs)
