@@ -5,11 +5,17 @@ Decision variables z = [F, P]:
   P [nc, K, 3]        contact positions for up to K phase slots per contact
                       (the reference's contact-location decision variables)
 
-Dynamics (mass-normalized, forward-Euler over dt — the reference's OCP
-integrates the same centroidal model over `sampling_time 0.06`,
-centroidal_mpc.ini:3):
-  c+ = c + dt v ;  v+ = v + dt (g + sum m f + f_ext)
-  L+ = L + dt (sum m (p + R c_corner - c) x f + tau_ext)
+Dynamics (mass-normalized, EXACT discrete map under piecewise-constant
+corner forces — the reference's OCP integrates the same centroidal model
+over `sampling_time 0.06`, centroidal_mpc.ini:3; see `rollout` and
+RESULTS.md §4.2 for why this must NOT be simplified to forward Euler):
+  c+ = c + dt v + dt²/2 a        with a = g + sum f + f_ext
+  v+ = v + dt a
+  L+ = L + dt (sum (c_corner - c) x f + tau_ext) - (dt²/2 v + dt³/6 a) x f_tot
+The dt²/2 term is load-bearing: a forward-Euler rollout leaves the MPC
+blind to the first interval's effect on position, which in closed loop
+appears as a slow upward CoM-z drift (~0.01 m/s unpushed) and divergence
+under pushes >= 0.8 m/s² (RESULTS.md §4.2).
 
 Cost (weights exactly per centroidal_mpc.ini:17-21):
   com_weight (10,10,200) CoM tracking; angular_momentum_weight 1e2;

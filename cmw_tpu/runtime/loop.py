@@ -1258,9 +1258,15 @@ class WalkingController:
                 jnp.where(feet.in_contact > 0.5, along + 0.08, -1e9)
             )
             cp_over_toe = jnp.dot(cp2, dirv) - toe  # margin-free, for the
-            # chest-lean schedule below (rush subtracts its own margin)
-            over = cp_over_toe - s.dyn.rush_margin
+            # chest-lean schedule below (rush subtracts its own margin).
+            # `over` keeps the ORIGINAL grouping dot - (toe + margin), NOT
+            # cp_over_toe - margin: the reassociated form is not
+            # bit-identical in f32 and the rigid path is chaotic enough to
+            # turn an ulp into a macroscopic trajectory shift (round-4
+            # advisor finding; the in-run baseline moved 4.54 -> 4.55 s).
+            over = jnp.dot(cp2, dirv) - (toe + s.dyn.rush_margin)
             any_swing = jnp.any(feet.in_contact < 0.5)
+            any_contact = jnp.any(feet.in_contact > 0.5)
             rush = jnp.clip(
                 s.dyn.rush_gain * jnp.maximum(over, 0.0), 0.0, 2.0
             )
@@ -1306,8 +1312,12 @@ class WalkingController:
             # pre-compensates; gain 0 keeps the reference's pure
             # world-upright target. Axis (-dy, dx, 0) tips the torso top
             # toward dirv.
+            # gated on any_contact: with no foot down `toe` is the -1e9
+            # sentinel, so cp_over_toe is ~+1e9 and any nonzero gain would
+            # saturate the 0.4 rad clip on flight ticks regardless of the
+            # actual capture state (round-4 advisor finding)
             lean = jnp.where(
-                sp > 0.05,
+                (sp > 0.05) & any_contact,
                 jnp.clip(
                     s.dyn.chest_lean_gain * jnp.maximum(cp_over_toe, 0.0),
                     0.0,
