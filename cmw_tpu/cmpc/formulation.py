@@ -136,6 +136,18 @@ class MPCConfig:
     # "auto" = symv on TPU when kkt_dtype resolves to f32, dense elsewhere
     # (the interpret-mode kernel would only slow CPU tests down).
     xupdate_impl: str = "auto"
+    # KKT x-update operator: "dense" = materialize the [n, n] inverse once
+    # per factorization and GEMV it every ADMM iteration (via
+    # inverse_impl/xupdate_impl above); "riccati" = never build the dense
+    # operator at all — factor M through the parametric stage-wise Riccati
+    # recursion (cmpc/riccati.py: block-banded in time via the rollout's
+    # linear sensitivity recursion + the 24-var contact-position Schur
+    # block) and solve each ADMM x-update with backward/forward vector
+    # sweeps. Mathematically identical apply (tests/test_riccati.py);
+    # skips the dense-J jacfwd, J^T J, and the n^3 factorization, and cuts
+    # the per-iteration HBM read from the n^2 inverse to ~T small gain
+    # matrices. f32 only (kkt_dtype/xupdate_impl are dense-path knobs).
+    kkt_impl: str = "dense"
     # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
     # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
     # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a
@@ -254,6 +266,28 @@ def interval_contact_geometry(cfg: MPCConfig, stage: MPCStageParams, positions):
     return pos_k, rot_k, corner_k
 
 
+def interval_step(cfg: MPCConfig, params: MPCParams, x, f_k, c_k, a_k):
+    """One exact discrete interval of the centroidal dynamics under the
+    held corner forces f_k with world corner positions c_k and activation
+    a_k. THE single source of the discrete map — `rollout` scans it and the
+    Riccati x-update (cmpc/riccati.py) linearizes it per stage, so the two
+    paths can never drift apart."""
+    dt = cfg.dt
+    com, vcom, L = x[0:3], x[3:6], x[6:9]
+    f = f_k * a_k[:, None, None]  # masked corner forces [nc,ncor,3]
+    f_tot = jnp.sum(f, axis=(0, 1))
+    g = jnp.zeros_like(vcom).at[2].set(-GRAVITY)
+    acc = g + f_tot + params.ext_force
+    com_n = com + dt * vcom + 0.5 * dt * dt * acc
+    vcom_n = vcom + dt * acc
+    # ∫₀^dt Σ (c − com(t))×f dt with com(t) = com + v t + ½ a t²:
+    #   dt·Σ(c − com)×f − (v dt²/2 + a dt³/6) × f_tot
+    dL0 = jnp.sum(jnp.cross(c_k - com[None, None, :], f), axis=(0, 1))
+    sweep = 0.5 * dt * dt * vcom + (dt**3 / 6.0) * acc
+    L_n = L + dt * (dL0 + params.ext_torque) - jnp.cross(sweep, f_tot)
+    return jnp.concatenate([com_n, vcom_n, L_n])
+
+
 def rollout(cfg: MPCConfig, params: MPCParams, forces, positions):
     """Exact discrete rollout of the centroidal dynamics under
     piecewise-constant corner forces. Returns X [N, 9].
@@ -267,23 +301,10 @@ def rollout(cfg: MPCConfig, params: MPCParams, forces, positions):
     drift (~0.01 m/s unpushed) that pushes amplified into divergence."""
     _, _, corner_k = interval_contact_geometry(cfg, params.stage, positions)
     active_k = params.stage.active.T  # [T, nc]
-    dt = cfg.dt
 
     def step(x, inp):
         f_k, c_k, a_k = inp
-        com, vcom, L = x[0:3], x[3:6], x[6:9]
-        f = f_k * a_k[:, None, None]  # masked corner forces [nc,ncor,3]
-        f_tot = jnp.sum(f, axis=(0, 1))
-        g = jnp.zeros_like(vcom).at[2].set(-GRAVITY)
-        acc = g + f_tot + params.ext_force
-        com_n = com + dt * vcom + 0.5 * dt * dt * acc
-        vcom_n = vcom + dt * acc
-        # ∫₀^dt Σ (c − com(t))×f dt with com(t) = com + v t + ½ a t²:
-        #   dt·Σ(c − com)×f − (v dt²/2 + a dt³/6) × f_tot
-        dL0 = jnp.sum(jnp.cross(c_k - com[None, None, :], f), axis=(0, 1))
-        sweep = 0.5 * dt * dt * vcom + (dt**3 / 6.0) * acc
-        L_n = L + dt * (dL0 + params.ext_torque) - jnp.cross(sweep, f_tot)
-        x_next = jnp.concatenate([com_n, vcom_n, L_n])
+        x_next = interval_step(cfg, params, x, f_k, c_k, a_k)
         return x_next, x_next
 
     # T=20 steps of tiny ops: full unroll lets XLA fuse across steps (the
@@ -489,13 +510,12 @@ def constraint_dense(cfg: MPCConfig, stage: MPCStageParams, dtype=jnp.float32):
     return A
 
 
-def ata_blockdiag(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32):
-    """A^T diag(rho) A as a dense [n, n] matrix.
-
-    Exploits the structure: identity block -> diag(rho1); cone block ->
-    rho2 * R (D^T D) R^T per corner (3x3); position block -> rho3-weighted
-    R R^T = rho3 I per slot. Only 3x3 blocks on the block diagonal.
-    """
+def ata_blocks(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32):
+    """The 3x3 blocks of A^T diag(rho) A: (blk_force [T,nc,ncor,3,3],
+    blk_pos [nc,K,3,3]). Identity block -> diag(rho1); cone block ->
+    rho2-weighted R (D^T D) R^T per corner; position block -> rho3 I per
+    slot. Consumed by `ata_blockdiag` (dense assembly) and by the Riccati
+    x-update path (cmpc/riccati.py), which keeps them as blocks."""
     T, nc, ncor, K = cfg.T, cfg.n_contacts, cfg.n_corners, cfg.n_slots
     tcc3 = cfg.n_forces
     tcc5 = T * nc * ncor * 5
@@ -514,6 +534,14 @@ def ata_blockdiag(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32)
         "tijc,ce->tijce", rho1, jnp.eye(3, dtype=dtype)
     )
     blk_pos = jnp.einsum("isc,ce->isce", rho3, jnp.eye(3, dtype=dtype))
+    return blk_force, blk_pos
+
+
+def ata_blockdiag(cfg: MPCConfig, stage: MPCStageParams, rho, dtype=jnp.float32):
+    """A^T diag(rho) A as a dense [n, n] matrix (3x3 blocks on the block
+    diagonal — see `ata_blocks`)."""
+    T, nc, ncor, K = cfg.T, cfg.n_contacts, cfg.n_corners, cfg.n_slots
+    blk_force, blk_pos = ata_blocks(cfg, stage, rho, dtype)
 
     blocks = jnp.concatenate(
         [blk_force.reshape(-1, 3, 3), blk_pos.reshape(-1, 3, 3)], axis=0

@@ -52,6 +52,7 @@ def admm_solve(
     sigma: float = 1e-6,
     alpha: float = 1.6,
     minv_packed: jnp.ndarray | None = None,
+    apply_fn=None,
 ) -> tuple[ADMMState, jnp.ndarray]:
     """Run `iters` ADMM iterations from `state` (warm-startable).
 
@@ -68,7 +69,13 @@ def admm_solve(
     Returns (state, primal_residual_inf).
     """
 
-    if minv_packed is not None:
+    if apply_fn is not None:
+        # externally factored operator (the Riccati path, cmpc/riccati.py):
+        # apply_fn(rhs) solves M rhs without any [n, n] matrix; `minv` is
+        # ignored (pass None)
+        apply_minv = apply_fn
+
+    elif minv_packed is not None:
         from cmw_tpu.ops.symv import BLK, symv_packed
 
         interp = jax.default_backend() not in ("tpu",)

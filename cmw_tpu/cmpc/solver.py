@@ -139,22 +139,41 @@ class CentroidalMPCSolver:
         zc0 = jnp.where(warm.valid > 0, warm.slack, jnp.clip(matvec(z0), l, u))
         y0 = jnp.where(warm.valid > 0, warm.dual, jnp.zeros_like(warm.dual))
 
-        eye = jnp.eye(cfg.n_vars, dtype=dtype)
-
-        def gauss_newton(z):
-            r = res_fn(z)
-            J = jax.jacfwd(res_fn)(z)
-            g = J.T @ r
-            H = J.T @ J + cfg.levenberg * eye
-            return g, H
-
+        use_riccati = cfg.kkt_impl == "riccati"
         grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
 
-        inv = _inverse_fn(cfg)
+        if use_riccati:
+            # structure-exploiting path (cmpc/riccati.py): no dense J, no
+            # J^T J, no [n, n] inverse — factor M through the stage-wise
+            # parametric Riccati recursion at the linearization point and
+            # apply it inside ADMM with banded vector sweeps. H z products
+            # (for q = g - H z) come from one jvp + one vjp at z_lin.
+            from cmw_tpu.cmpc.riccati import riccati_apply, riccati_factor
+
+            lam_sig = cfg.levenberg + cfg.admm_sigma
+
+            def hvp_at(z_lin, v):
+                _, Jv = jax.jvp(res_fn, (z_lin,), (v,))
+                _, vjp_fn = jax.vjp(res_fn, z_lin)
+                return vjp_fn(Jv)[0] + cfg.levenberg * v
+
+            if not cfg.refactor_every_sqp:
+                fac0 = riccati_factor(cfg, params, z0, rho, lam_sig)
+        else:
+            eye = jnp.eye(cfg.n_vars, dtype=dtype)
+
+            def gauss_newton(z):
+                r = res_fn(z)
+                J = jax.jacfwd(res_fn)(z)
+                g = J.T @ r
+                H = J.T @ J + cfg.levenberg * eye
+                return g, H
+
+            inv = _inverse_fn(cfg)
         xupd = cfg.xupdate_impl
         if xupd == "auto":
             xupd = "symv" if jax.default_backend() == "tpu" else "dense"
-        use_symv = xupd == "symv" and cfg.kkt_dtype == "f32"
+        use_symv = xupd == "symv" and cfg.kkt_dtype == "f32" and not use_riccati
         if use_symv:
             from cmw_tpu.ops.symv import pack_symmetric
 
@@ -164,7 +183,7 @@ class CentroidalMPCSolver:
                 mp = jnp.pad(m, ((0, pad), (0, pad)))
                 return pack_symmetric(mp[None])[0]
 
-        if not cfg.refactor_every_sqp:
+        if not cfg.refactor_every_sqp and not use_riccati:
             # quasi-Newton: one factorization per solve; later iterations
             # reuse H0 with exact gradients (one reverse-mode pass each),
             # keeping the fixed point correct
@@ -175,6 +194,8 @@ class CentroidalMPCSolver:
         alphas = jnp.asarray(cfg.line_search_alphas, dtype)
 
         admm_impl = _admm_impl(cfg)
+        if use_riccati:
+            admm_impl = "xla"  # the factored apply rides the xla ADMM loop
         if admm_impl == "fused":
             from cmw_tpu.ops.admm_fused import admm_fused_pallas
 
@@ -191,6 +212,16 @@ class CentroidalMPCSolver:
                 state = ADMMState(x[0], zcn[0], yn[0])
                 prim = jnp.max(jnp.abs(matvec(state.x) - state.zc))
                 return state, prim
+
+        elif use_riccati:
+
+            def run_admm(fac, q, z, zc, y, packed=None):
+                return admm_solve(
+                    None, q, matvec, rmatvec, l, u, rho,
+                    ADMMState(z, zc, y), iters=cfg.admm_iters,
+                    sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+                    apply_fn=lambda r: riccati_apply(cfg, fac, r),
+                )
 
         else:
             kd = cfg.kkt_dtype
@@ -217,15 +248,25 @@ class CentroidalMPCSolver:
 
         def sqp_iter(carry, _):
             z, zc, y = carry
-            if cfg.refactor_every_sqp:
+            if use_riccati:
+                g = grad_fn(z)
+                if cfg.refactor_every_sqp:
+                    fac = riccati_factor(cfg, params, z, rho, lam_sig)
+                    q = g - hvp_at(z, z)
+                else:
+                    fac = fac0
+                    q = g - hvp_at(z0, z)
+                minv, packed = fac, None
+            elif cfg.refactor_every_sqp:
                 g, H = gauss_newton(z)
                 minv = inv(H + cfg.admm_sigma * eye + ata)
                 packed = pack(minv) if use_symv else None
+                q = g - H @ z
             else:
                 g, H = grad_fn(z), H0
                 minv = minv0
                 packed = packed0 if use_symv else None
-            q = g - H @ z
+                q = g - H @ z
             state, prim = run_admm(minv, q, z, zc, y, packed)
             # globalization: scale the step by the merit-minimizing alpha
             # (alpha 0 = keep z; guarantees monotone merit inside a solve).
