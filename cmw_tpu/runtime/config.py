@@ -327,6 +327,18 @@ class WalkingConfig:
     # (0 = the reference's pure world-upright-at-yaw target).
     chest_w_rp: float = 1.0
     chest_lean_gain: float = 0.0
+    # CATCH-STEP GEOMETRY (rigid plant only; traced as
+    # DynConfig.step_reach_len/crouch_gain/crouch_max). Round-5 measured
+    # terminal mode (RESULTS §5g): the capture-step extension commanded a
+    # 0.4 m landing with the CoM still at z=0.70 — geometrically beyond
+    # the ~0.75 m leg — so the foot hovered while the robot rolled over
+    # the stance toe. step_reach_len caps the landing's forward offset
+    # from the measured CoM at sqrt(len^2 - com_z^2) (0 = off);
+    # crouch_gain [m/m] lowers the IK root-z target with capture
+    # overshoot, opening that cap exactly when the catch step needs it.
+    step_reach_len: float = 0.0
+    crouch_gain: float = 0.0
+    crouch_max: float = 0.12
     # ODOMETRY ANCHOR COMPLEMENTARY FILTER (rigid plant only; traced as
     # DynConfig.odom_blend). The reference re-pins the fixed sole at its
     # PLANNED pose on every fixed-frame switch (changeFixedFrame,

@@ -112,6 +112,19 @@ class DynConfig(NamedTuple):
     #   (0 = off) — schedules the chest SO3 target to dump backward
     #   angular momentum into the task the IK already anchors, instead
     #   of adding a separate momentum task (measured harmful, §5d)
+    step_reach_len: jnp.ndarray  # [] m: leg-length budget for the
+    #   capture-step extension's GEOMETRIC reach cap (0 = off). Measured
+    #   round-5 failure (r5_grid3 item 7): a 0.4 m catch step was
+    #   commanded with the CoM still at z=0.70 — beyond what the ~0.75 m
+    #   leg can span — so the foot hovered ~2 cm up for 0.75 s while the
+    #   robot rolled over its stance toe. The cap keeps the commanded
+    #   landing within sqrt(reach_len^2 - com_z^2) of the measured CoM.
+    crouch_gain: jnp.ndarray  # [] m per m of capture-point overshoot:
+    #   capture-scheduled crouch — lower the IK root-z target when the
+    #   capture point escapes forward, buying exactly the horizontal leg
+    #   reach the catch step needs (companion of step_reach_len: as the
+    #   root drops, the reach cap opens up on subsequent MPC ticks)
+    crouch_max: jnp.ndarray  # [] m: crouch clip
 
 
 class StoredMann(NamedTuple):
@@ -484,6 +497,9 @@ class WalkingController:
                 rush_ds=jnp.asarray(cfg.rush_ds, dtype),
                 chest_w_rp=jnp.asarray(cfg.chest_w_rp, dtype),
                 chest_lean_gain=jnp.asarray(cfg.chest_lean_gain, dtype),
+                step_reach_len=jnp.asarray(cfg.step_reach_len, dtype),
+                crouch_gain=jnp.asarray(cfg.crouch_gain, dtype),
+                crouch_max=jnp.asarray(cfg.crouch_max, dtype),
             ),
         )
 
@@ -940,6 +956,22 @@ class WalkingController:
             ext = jnp.clip(
                 lead + s.dyn.step_ext_margin, 0.0, s.dyn.step_ext_max
             )
+            # GEOMETRIC REACH CAP (config.step_reach_len docstring): cap
+            # the commanded landing's forward offset from the measured CoM
+            # at what the leg can span at the current CoM height — an
+            # unreachable landing makes the foot hover while the robot
+            # rolls over the stance toe (measured terminal mode, RESULTS
+            # §5g). 0 disables (parity default).
+            off0 = jnp.einsum(
+                "x,ix->i", dirx, pos_ns[:, 0:2] - com_r[None, 0:2]
+            )
+            d_max = jnp.sqrt(
+                jnp.maximum(s.dyn.step_reach_len**2 - com_r[2] ** 2, 0.0)
+            )
+            ext_cap = jnp.maximum(d_max - off0, 0.0)
+            ext = jnp.where(
+                s.dyn.step_reach_len > 0, jnp.minimum(ext, ext_cap), ext
+            )
             do_ext = (
                 (in_cs < 0.5)  # the foot is currently swinging
                 & (has_ns > 0.5)
@@ -1246,6 +1278,7 @@ class WalkingController:
         # clock FASTER (up to 3x) so the landing comes down early and
         # arrests the forward fall — the mirror of gait-hold.
         rush = jnp.zeros((), s.x9.dtype)
+        crouch = jnp.zeros((), s.x9.dtype)
         if cfg.rigid is not None:
             dcom2 = meas9[3:5]
             sp = jnp.linalg.norm(dcom2)
@@ -1277,6 +1310,20 @@ class WalkingController:
             gate_sup = any_swing | (s.dyn.rush_ds > 0)
             rush = jnp.where(
                 gate_sup & (s.dyn.rush_gain > 0) & (sp > 0.05), rush, 0.0
+            )
+            # CAPTURE-SCHEDULED CROUCH (config.crouch_gain docstring):
+            # lower the root-z target with the capture overshoot so the
+            # catch step's landing stays geometrically reachable (the
+            # step_reach_len cap's companion). Gated like the chest lean:
+            # contact + moving (the -1e9 toe sentinel must not saturate it)
+            crouch = jnp.where(
+                (sp > 0.05) & any_contact,
+                jnp.clip(
+                    s.dyn.crouch_gain * jnp.maximum(cp_over_toe, 0.0),
+                    0.0,
+                    s.dyn.crouch_max,
+                ),
+                0.0,
             )
 
         # chest set-point: WORLD-UPRIGHT at the regularization config's yaw
@@ -1337,7 +1384,7 @@ class WalkingController:
             foot_ang_vel=feet.ang_vel,
             com_xy=com_xy_int,
             dcom_xy=v_cmd,
-            root_z=com_des3[2] + s.root_z_off,
+            root_z=com_des3[2] + s.root_z_off - crouch,
             droot_z=dcom_des3[2],
             chest_rot=chest_rot_target,
             q_reg=s.q_reg,
