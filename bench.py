@@ -100,7 +100,12 @@ def main():
     # throughput line (it reports numerics_ok=false instead).
     cost_p = cost_x = float("nan")
     try:
-        solver_x = CentroidalMPCSolver(ergocub_mpc_config(inverse_impl="xla"))
+        # cross-implementation check: the DEFAULT path (riccati since
+        # round 5) vs the dense XLA-cholesky path — two independent
+        # factorizations of the same KKT operator must agree on hardware
+        solver_x = CentroidalMPCSolver(
+            ergocub_mpc_config(kkt_impl="dense", inverse_impl="xla")
+        )
         sol_p = solver.solve(base, solver.cold_start())
         sol_x = solver_x.solve(base, solver_x.cold_start())
         cost_p, cost_x = float(sol_p.cost), float(sol_x.cost)
@@ -128,23 +133,40 @@ def main():
     )
     P_BLK = 128
     nb = -(-n // P_BLK)  # padded block count
-    inv_matmuls = nb * 2 * cfg.ns_iters + nb**3
-    flops_per_solve = (
-        inv_matmuls * 2 * P_BLK**3                # block-LDL + block-NS inverse
-        + 2 * nr * n * n                          # H = JᵀJ
-        + cfg.sqp_iters * cfg.admm_iters * (2 * n * n + 4 * m * (n // 8))
-    )
+    use_riccati = cfg.kkt_impl in ("riccati", "auto")
+    if use_riccati:
+        # riccati path (cmpc/riccati.py): per-stage gain matrices replace
+        # the dense inverse. Per-apply per-stage reads: K(24x33) KP(24,24)
+        # D1(24,24) SW(33,24) VP(24,24) A(9,9) B(9,24) C(9,24) ~ 3.8k
+        # floats; factor = T stages of ~12 small (<=33^3) matmuls + the
+        # stage jacfwd (57 tangents through the interval step).
+        T = cfg.T
+        stage_floats = 2 * (24 * 33) + 3 * (24 * 24) + 81 + 2 * (9 * 24)
+        flops_per_solve = (
+            T * 12 * 2 * 33**3                         # riccati factor
+            + 57 * T * 600                             # stage jacobians
+            + cfg.sqp_iters * cfg.admm_iters
+            * (T * 2 * 2 * stage_floats + 4 * m * (n // 8))
+        )
+        bytes_per_solve = (
+            cfg.sqp_iters * cfg.admm_iters * T * stage_floats * 4
+            + T * stage_floats * 4 * 3                 # factor build traffic
+        )
+    else:
+        inv_matmuls = nb * 2 * cfg.ns_iters + nb**3
+        flops_per_solve = (
+            inv_matmuls * 2 * P_BLK**3            # block-LDL + block-NS inverse
+            + 2 * nr * n * n                      # H = JᵀJ
+            + cfg.sqp_iters * cfg.admm_iters * (2 * n * n + 4 * m * (n // 8))
+        )
+        kkt_bytes = 4 if cfg.kkt_dtype == "f32" else 2  # "auto" -> bf16 on TPU
+        bytes_per_solve = (
+            cfg.sqp_iters * cfg.admm_iters * (nb * P_BLK) ** 2 * kkt_bytes
+            + 3 * n * n * 4  # H build + factorization traffic (one pass each)
+        )
     model_flops_per_s = flops_per_solve * solves_per_s
     peak = 394e12 if "v5 lite" in str(jax.devices()[0]) else 459e12  # bf16 peak
     mfu = model_flops_per_s / peak
-    # the ADMM loop is HBM-bound, not MXU-bound: the dominant traffic is
-    # re-reading the per-item KKT inverse every iteration. Quote the
-    # bandwidth utilization as the honest roofline metric.
-    kkt_bytes = 4 if cfg.kkt_dtype == "f32" else 2  # "auto" -> bf16 on TPU
-    bytes_per_solve = (
-        cfg.sqp_iters * cfg.admm_iters * (nb * P_BLK) ** 2 * kkt_bytes
-        + 3 * n * n * 4  # H build + factorization traffic (one pass each)
-    )
     peak_bw = 819e9 if "v5 lite" in str(jax.devices()[0]) else 1200e9
     bw_util = bytes_per_solve * solves_per_s / peak_bw
 
@@ -200,7 +222,11 @@ def main():
     # f32 the default — reported as headroom.
     import dataclasses as _dc
 
-    solver16 = CentroidalMPCSolver(_dc.replace(cfg, kkt_dtype="bf16"))
+    # bf16 is a dense-path knob; force kkt_impl=dense so the measurement
+    # stays meaningful under the riccati default
+    solver16 = CentroidalMPCSolver(
+        _dc.replace(cfg, kkt_dtype="bf16", kkt_impl="dense")
+    )
 
     def chain_b16(warm, _):
         sol = jax.vmap(solver16.solve)(batched_params, warm)

@@ -146,8 +146,14 @@ class MPCConfig:
     # sweeps. Mathematically identical apply (tests/test_riccati.py);
     # skips the dense-J jacfwd, J^T J, and the n^3 factorization, and cuts
     # the per-iteration HBM read from the n^2 inverse to ~T small gain
-    # matrices. f32 only (kkt_dtype/xupdate_impl are dense-path knobs).
-    kkt_impl: str = "dense"
+    # matrices. f32 only; when active it takes precedence over the
+    # dense-path knobs (kkt_dtype / xupdate_impl / inverse_impl /
+    # admm_impl are ignored). Measured (tools/bench_kkt.py, B=512, KB=4):
+    # v5e 6,006 -> 8,838 solves/s (1.47x), CPU 4.1x, cost agreement 5e-5.
+    # "auto" = riccati everywhere (it wins on both backends); "dense"
+    # keeps the round-4 path (still fully tested — the equivalence tests
+    # and the bench numerics sentinel run both).
+    kkt_impl: str = "auto"
     # Newton-Schulz pivot-inverse iterations (pallas path). Measured on a
     # real walking KKT matrix on v5e hardware: ns=8 is still mid-contraction
     # (||I - M X||_inf ~ 5e-2 — enough to destabilize the closed loop over a

@@ -139,7 +139,7 @@ class CentroidalMPCSolver:
         zc0 = jnp.where(warm.valid > 0, warm.slack, jnp.clip(matvec(z0), l, u))
         y0 = jnp.where(warm.valid > 0, warm.dual, jnp.zeros_like(warm.dual))
 
-        use_riccati = cfg.kkt_impl == "riccati"
+        use_riccati = cfg.kkt_impl in ("riccati", "auto")
         grad_fn = jax.grad(lambda zz: 0.5 * jnp.sum(res_fn(zz) ** 2))
 
         if use_riccati:

@@ -120,7 +120,7 @@ def test_riccati_solver_parity_with_dense():
     riccati path vs the dense path: same costs/forces to f32 tolerance."""
     import dataclasses
 
-    cfg_d = F.ergocub_mpc_config(inverse_impl="xla")
+    cfg_d = F.ergocub_mpc_config(inverse_impl="xla", kkt_impl="dense")
     cfg_r = dataclasses.replace(cfg_d, kkt_impl="riccati")
     params = _params(cfg_d, push=(0.0, 1.0, 0.0))
 
