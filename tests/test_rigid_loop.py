@@ -111,12 +111,16 @@ def test_rigid_walk_forward(ctl_walk):
     forward walk at the measured round-4 operating point must survive the
     assertion window upright and advancing.
 
-    The TPU-measured frontier is 4.54 s / 8 steps / +1.59 m (RESULTS.md
-    §5d continued); the closed loop is chaotic across platforms (verify
-    SKILL.md), so the guard asserts a 3.0 s envelope — comfortably past
-    the round-3 frontier (2.49-2.55 s: a regression to round-3 behavior
-    FAILS this test) while leaving margin for CPU/TPU divergence.
-    Calibrated against a CPU run of this exact body (2026-08-21)."""
+    Round-5 MEASURED the run-to-run spread the round-4 VERDICT asked for
+    (weak #1 / item 2): 1e-6 m/s^2 seed perturbations scatter fell_t over
+    2.73-4.54 s (8 replicates, median ~3.8 — RESULTS.md §5g), so the
+    "4.54 s frontier" is the top of a wide chaotic distribution whose
+    measured FLOOR is ~2.7 s. A >=4.0 s guard would therefore be flaky by
+    construction; the honest envelope is 3.0 s — above the round-3
+    frontier (2.49-2.55 s: a regression to round-3 behavior FAILS this
+    test) and just above the measured floor, while leaving margin for
+    CPU/TPU divergence. Calibrated against a CPU run of this exact body
+    (2026-08-21)."""
     S = 1500  # 3.0 s
     sN, tel = ctl_walk.run_episode_blocked(
         ctl_walk.initial_state(), ramped_inputs(S, 0.8, 1.0)
