@@ -28,6 +28,8 @@ def main(argv=None):
         "regime where footstep adjustment separates from pinned footsteps",
     )
     p.add_argument("--mesh", action="store_true", help="shard the batch over all devices")
+    p.add_argument("--kkt", default=None, choices=["dense", "riccati"],
+                   help="force MPCConfig.kkt_impl (A/B the solver x-update)")
     p.add_argument("--chunk", type=int, default=512, help="scenarios per lax.map chunk (bounds peak memory)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
@@ -125,6 +127,8 @@ def main(argv=None):
         mpc = cfg.mpc
         if args.fz_max is not None:
             mpc = dataclasses.replace(mpc, fz_max=args.fz_max * GRAVITY)
+        if args.kkt is not None:
+            mpc = dataclasses.replace(mpc, kkt_impl=args.kkt)
         if not adjust:
             mpc = no_adjust(mpc)
         kw = {}
