@@ -134,6 +134,8 @@ def main():
     if "swing_height" in kw:
         from cmw_tpu.wbc.swing_foot import SwingFootConfig
         kw["swing"] = SwingFootConfig(step_height=float(kw.pop("swing_height")))
+    from cmw_tpu.sim.rigid_body import RigidBodyConfig
+    kw.setdefault("rigid", RigidBodyConfig())
     cfg = ergocub_gazebo_v1(**kw)
     model = kin.ergocub_urdf() if args.urdf else kin.ergocub_approx()
     ctl = WalkingController(cfg, model, load_mann_weights(MANN))
