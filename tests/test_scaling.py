@@ -34,7 +34,10 @@ def test_sweep_chunked_matches_unchunked():
     lat_a, dz_a, trk_a, fin_a, *_ = _episode_metrics(ctl, s0, inputs, chunk=0)
     lat_b, dz_b, trk_b, fin_b, *_ = _episode_metrics(ctl, s0, inputs, chunk=2)
     np.testing.assert_allclose(np.asarray(lat_a), np.asarray(lat_b), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(dz_a), np.asarray(dz_b), rtol=1e-5)
+    # rtol 1e-4 (was 1e-5): the riccati x-update's per-stage sweeps fuse
+    # differently under lax.map vs vmap — measured 1.05e-5 relative
+    # (8e-7 absolute vs the 0.25 fall threshold) after the round-5 flip
+    np.testing.assert_allclose(np.asarray(dz_a), np.asarray(dz_b), rtol=1e-4)
     # com_meas runs the full FK chain — lax.map vs vmap fuse/accumulate in
     # different orders, so the FK-based tracking metric carries ~1e-3 f32
     # noise (vs its 0.15 fall threshold); the integrator-based metrics above
