@@ -79,19 +79,45 @@ def inv_one(H):
     return spd_inverse(H)
 
 
-gn = jax.jit(jax.vmap(gn_one))
-g, H = gn(params, z0)
-eye = jnp.eye(cfg.n_vars)
-Hs = H + (cfg.levenberg + cfg.admm_sigma) * eye
-
-inv = jax.jit(jax.vmap(inv_one))
 solve = jax.jit(jax.vmap(solver.solve))
-
-t_gn = timeit("GN linearize (jacfwd+JtJ)", gn, params, z0)
-t_inv = timeit("KKT inverse", inv, Hs)
 t_solve = timeit("full solve", solve, params, warm)
 res = jax.jit(jax.vmap(lambda p, z: F.residuals(cfg, p, z)))
 t_res = timeit("residual eval", res, params, z0)
 grad = jax.jit(jax.vmap(lambda p, z: jax.grad(lambda zz: 0.5 * jnp.sum(F.residuals(cfg, p, zz) ** 2))(z)))
 t_grad = timeit("gradient (reverse)", grad, params, z0)
-print(f"{'rest (ADMM+merit+unpack)':28s} {max(t_solve - t_gn - t_inv - t_grad, 0)*1e3:9.2f} ms")
+
+if cfg.kkt_impl in ("riccati", "auto"):
+    from cmw_tpu.cmpc.riccati import riccati_apply, riccati_factor
+
+    lam_sig = cfg.levenberg + cfg.admm_sigma
+
+    def fac_one(p, z):
+        _, _, rho = F.constraint_bounds(cfg, p.stage, z.dtype)
+        return riccati_factor(cfg, p, z, rho, lam_sig)
+
+    fac_fn = jax.jit(jax.vmap(fac_one))
+    facs = fac_fn(params, z0)
+    t_fac = timeit("riccati factor", fac_fn, params, z0)
+
+    app = jax.jit(jax.vmap(lambda f, r: riccati_apply(cfg, f, r)))
+    rhs = jnp.ones((B, cfg.n_vars), jnp.float32)
+    t_app1 = timeit("riccati apply x1", app, facs, rhs)
+    n_apply = cfg.sqp_iters * cfg.admm_iters
+    print(
+        f"{'apply x sqp*admm (scaled)':28s} {t_app1*n_apply*1e3:9.2f} ms   "
+        f"(standalone; in-solve fusion is tighter)"
+    )
+    # line-search machinery per sqp iter: 1 jvp (~2 res) + 1 res + 1 grad
+    print(
+        f"{'line-search model (~3res+grad)/sqp x2':28s} "
+        f"{(3*t_res + t_grad)*cfg.sqp_iters*1e3:9.2f} ms"
+    )
+else:
+    gn = jax.jit(jax.vmap(gn_one))
+    g, H = gn(params, z0)
+    eye = jnp.eye(cfg.n_vars)
+    Hs = H + (cfg.levenberg + cfg.admm_sigma) * eye
+    inv = jax.jit(jax.vmap(inv_one))
+    t_gn = timeit("GN linearize (jacfwd+JtJ)", gn, params, z0)
+    t_inv = timeit("KKT inverse", inv, Hs)
+    print(f"{'rest (ADMM+merit+unpack)':28s} {max(t_solve - t_gn - t_inv - t_grad, 0)*1e3:9.2f} ms")
