@@ -26,8 +26,9 @@ time-structured LQR with
 A parametric (P-carrying) backward Riccati recursion factors M once per
 SQP iteration; each ADMM iteration then solves M x = rhs with one
 backward + one forward vector sweep over the T=20 stages reading only the
-per-stage gain matrices (~90k floats vs the 254k of the dense inverse, and
-no [n,n] build, no jacfwd J, no J^T J, no 504^3 factorization). The apply
+per-stage gain matrices (~49k floats — K/KP/D1 + the stage Jacobians —
+vs the 254k of the dense inverse, and no [n,n] build, no jacfwd J, no
+J^T J, no 504^3 factorization). The apply
 is mathematically identical to the dense path (unit-tested to f64
 round-off in tests/test_riccati.py), so warm starts, duals, line search
 and closed-loop behavior are unchanged by construction.
